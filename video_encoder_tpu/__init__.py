@@ -1,0 +1,12 @@
+"""video_encoder_tpu — a TPU-native video encode/decode engine.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of the
+`arkanis/video-encoder` C pipeline (see SURVEY.md; the reference mount was
+empty, so parity targets BASELINE.json's attested feature set): block motion
+estimation (full ±16 / diamond SAD), 8×8 integer transform + per-MB
+quantization, zigzag + Exp-Golomb entropy coding with a two-pass parallel
+bit-pack, bit-exact reconstruction/decode, GOP/tile sharding over a device
+mesh with collective reference-frame/halo exchange, and an in-order host mux.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,64 @@
+"""Encoder configuration (SURVEY.md §5 "Config / flag system").
+
+One frozen dataclass; the CLI is a thin argparse wrapper over it. The config
+is hashed (CRC32 of its canonical string) into the stream header for
+reproducibility (SPEC.md §8). Mirrors reference component C1's flag surface
+(mode, GOP, QP, search type, resolution — SURVEY.md §2 C1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    width: int
+    height: int
+    gop_n: int = 30            # GOP length; 1 = intra-only [B:7,8]
+    base_qp: int = 28          # QP in [1, 63]
+    search: str = "full"       # "full" (±16 exhaustive) or "diamond" [B:8,9]
+    rc: str = "none"           # "none" | "adaptive" | "bitrate" (SPEC.md §10)
+    target_kbps: int = 0       # rc="bitrate" only
+    fps_num: int = 30          # timing for bitrate RC budget
+    fps_den: int = 1
+    # Parallel layout (SURVEY.md §2.1): devices along the GOP axis and the
+    # spatial tile axis of the mesh.
+    gop_devices: int = 1
+    tile_devices: int = 1
+
+    def __post_init__(self):
+        if self.width % 2 or self.height % 2:
+            raise ValueError("width/height must be even (4:2:0)")
+        if not (1 <= self.base_qp <= 63):
+            raise ValueError("base_qp must be in [1, 63]")
+        if self.search not in ("full", "diamond"):
+            raise ValueError(f"unknown search mode {self.search!r}")
+        if self.rc not in ("none", "adaptive", "bitrate"):
+            raise ValueError(f"unknown rc mode {self.rc!r}")
+        if self.gop_n < 1:
+            raise ValueError("gop_n must be >= 1")
+
+    @property
+    def intra_only(self) -> bool:
+        return self.gop_n == 1
+
+    @property
+    def search_mode_id(self) -> int:
+        return {"full": 0, "diamond": 1}[self.search]
+
+    def canonical(self) -> str:
+        return (
+            f"tvc1:w={self.width}:h={self.height}:gop={self.gop_n}"
+            f":qp={self.base_qp}:search={self.search}:rc={self.rc}"
+            f":kbps={self.target_kbps}:fps={self.fps_num}/{self.fps_den}"
+        )
+
+    def config_hash(self) -> int:
+        return zlib.crc32(self.canonical().encode()) & 0xFFFFFFFF
+
+    def target_bits_per_frame(self) -> int:
+        if self.rc != "bitrate" or self.target_kbps <= 0:
+            return 0
+        return (self.target_kbps * 1000 * self.fps_den) // self.fps_num

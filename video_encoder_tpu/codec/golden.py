@@ -1,0 +1,384 @@
+"""Numpy golden model of the TVC1 codec (SPEC.md) — the referee for every
+device implementation (SURVEY.md §4.3, §7.1 M0).
+
+Covers reference components C4–C16 (SURVEY.md §2) in pure numpy:
+frame model, SAD, full/diamond ME, MC, transform, quant, zigzag, entropy,
+mux payloads, reconstruction loop, decoder. Vectorized over macroblocks but
+written for clarity, not speed — tests use small frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from . import spec
+from .bitio import BitReader, BitWriter
+from .config import EncoderConfig
+
+# --------------------------------------------------------------------------
+# Frame model helpers (C4)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Frame:
+    """Padded planes: y [Hp, Wp], cb/cr [Hp/2, Wp/2], int32 in [0, 255]."""
+
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+
+    @classmethod
+    def from_planes(cls, y, cb, cr) -> "Frame":
+        return cls(
+            spec.pad_plane(np.asarray(y, np.int32), spec.MB),
+            spec.pad_plane(np.asarray(cb, np.int32), spec.BLK),
+            spec.pad_plane(np.asarray(cr, np.int32), spec.BLK),
+        )
+
+    def crop(self, w: int, h: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        return (
+            self.y[:h, :w].astype(np.uint8),
+            self.cb[: h // 2, : w // 2].astype(np.uint8),
+            self.cr[: h // 2, : w // 2].astype(np.uint8),
+        )
+
+
+def mb_grid(frame: Frame) -> tuple[int, int]:
+    return frame.y.shape[0] // spec.MB, frame.y.shape[1] // spec.MB
+
+
+# --------------------------------------------------------------------------
+# Motion estimation (C5–C7) and compensation (C8)
+# --------------------------------------------------------------------------
+
+
+def sad_full_search(cur_y: np.ndarray, ref_y: np.ndarray):
+    """Full ±16 search (SPEC.md §9). Returns (dy, dx, best_sad) per MB.
+
+    Candidate order: dy outer −16..16, dx inner −16..16; first minimum wins
+    (np.argmin first-occurrence over the flattened candidate axis).
+    """
+    h, w = cur_y.shape
+    nby, nbx = h // spec.MB, w // spec.MB
+    refpad = spec.pad_ref(ref_y, spec.SEARCH_R)
+    r = spec.SEARCH_R
+    costs = np.empty((spec.N_CAND, nby, nbx), dtype=np.int64)
+    k = 0
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifted = refpad[r + dy : r + dy + h, r + dx : r + dx + w]
+            diff = np.abs(cur_y - shifted)
+            costs[k] = spec.blockify(diff, spec.MB).sum(axis=(2, 3))
+            k += 1
+    best = np.argmin(costs, axis=0)  # first occurrence
+    best_sad = np.take_along_axis(costs, best[None], axis=0)[0]
+    dy = best // (2 * r + 1) - r
+    dx = best % (2 * r + 1) - r
+    return dy.astype(np.int32), dx.astype(np.int32), best_sad.astype(np.int64)
+
+
+def sad_at(cur_y: np.ndarray, refpad: np.ndarray, dy: np.ndarray, dx: np.ndarray):
+    """SAD per MB at per-MB integer mv (dy, dx); refpad has pad SEARCH_R."""
+    h, w = cur_y.shape
+    nby, nbx = h // spec.MB, w // spec.MB
+    r = spec.SEARCH_R
+    my = np.arange(nby)[:, None, None, None] * spec.MB
+    mx = np.arange(nbx)[None, :, None, None] * spec.MB
+    ii = np.arange(spec.MB)[None, None, :, None]
+    jj = np.arange(spec.MB)[None, None, None, :]
+    rows = r + my + dy[:, :, None, None] + ii
+    cols = r + mx + dx[:, :, None, None] + jj
+    pred = refpad[rows, cols]
+    cur = spec.blockify(cur_y, spec.MB)
+    return np.abs(cur - pred).sum(axis=(2, 3)).astype(np.int64)
+
+
+def sad_diamond_search(cur_y: np.ndarray, ref_y: np.ndarray):
+    """Diamond search w/ early freeze (SPEC.md §9), SPMD-style masked loop.
+
+    Large diamond: per step evaluate [center, (dy-2,dx), (dy,dx-2),
+    (dy,dx+2), (dy+2,dx)] (first-min tie-break; out-of-window = +inf);
+    freeze an MB when the winner is the center or its SAD < 512; at most 16
+    steps. Then one small-diamond (±1) refinement applied to every MB.
+    """
+    h, w = cur_y.shape
+    nby, nbx = h // spec.MB, w // spec.MB
+    refpad = spec.pad_ref(ref_y, spec.SEARCH_R)
+    dy = np.zeros((nby, nbx), dtype=np.int32)
+    dx = np.zeros((nby, nbx), dtype=np.int32)
+    cost = sad_at(cur_y, refpad, dy, dx)
+    frozen = cost < spec.DIAMOND_EARLY_SAD
+
+    def step(dy, dx, cost, frozen, offsets):
+        cand_costs = [cost]
+        cand_dy, cand_dx = [dy], [dx]
+        for ody, odx in offsets:
+            ndy, ndx = dy + ody, dx + odx
+            valid = (
+                (np.abs(ndy) <= spec.SEARCH_R) & (np.abs(ndx) <= spec.SEARCH_R)
+            )
+            c = np.where(
+                valid,
+                sad_at(cur_y, refpad, np.clip(ndy, -16, 16), np.clip(ndx, -16, 16)),
+                np.int64(1) << 60,
+            )
+            cand_costs.append(c)
+            cand_dy.append(ndy)
+            cand_dx.append(ndx)
+        cc = np.stack(cand_costs)  # [5, nby, nbx]
+        widx = np.argmin(cc, axis=0)  # first occurrence == candidate order
+        wdy = np.take_along_axis(np.stack(cand_dy), widx[None], 0)[0]
+        wdx = np.take_along_axis(np.stack(cand_dx), widx[None], 0)[0]
+        wcost = np.take_along_axis(cc, widx[None], 0)[0]
+        # frozen MBs keep their state
+        ndy = np.where(frozen, dy, wdy).astype(np.int32)
+        ndx = np.where(frozen, dx, wdx).astype(np.int32)
+        ncost = np.where(frozen, cost, wcost)
+        moved = (widx != 0) & ~frozen
+        return ndy, ndx, ncost, moved
+
+    large = ((-2, 0), (0, -2), (0, 2), (2, 0))
+    for _ in range(spec.DIAMOND_MAX_STEPS):
+        dy, dx, cost, moved = step(dy, dx, cost, frozen, large)
+        frozen = frozen | ~moved | (cost < spec.DIAMOND_EARLY_SAD)
+        if frozen.all():
+            break
+    # Small-diamond refinement for every MB (freeze mask lifted).
+    small = ((-1, 0), (0, -1), (0, 1), (1, 0))
+    dy, dx, cost, _ = step(dy, dx, cost, np.zeros_like(frozen), small)
+    return dy, dx, cost
+
+
+def mc_fetch(refpad: np.ndarray, dy: np.ndarray, dx: np.ndarray, bs: int, r: int):
+    """Predictor blocks [nby, nbx, bs, bs] from a padded plane (C8)."""
+    nby, nbx = dy.shape
+    my = np.arange(nby)[:, None, None, None] * bs
+    mx = np.arange(nbx)[None, :, None, None] * bs
+    ii = np.arange(bs)[None, None, :, None]
+    jj = np.arange(bs)[None, None, None, :]
+    rows = r + my + dy[:, :, None, None] + ii
+    cols = r + mx + dx[:, :, None, None] + jj
+    return refpad[rows, cols]
+
+
+def intra_cost_and_dc(cur_y: np.ndarray):
+    """Per-MB DC and SAD-vs-DC (SPEC.md §9 mode decision / §10 activity)."""
+    blocks = spec.blockify(cur_y, spec.MB).astype(np.int64)
+    dc = (blocks.sum(axis=(2, 3)) + 128) >> 8
+    cost = np.abs(blocks - dc[:, :, None, None]).sum(axis=(2, 3))
+    return dc, cost
+
+
+# --------------------------------------------------------------------------
+# Frame encode (C5–C15)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FrameEncodeResult:
+    payload: bytes         # big-endian words
+    payload_bits: int
+    recon: Frame
+    mb_bits: np.ndarray    # per-MB bit counts (for stats/RC)
+    n_intra: int
+    n_inter: int
+
+
+def _assemble_blocks(
+    y_blocks: np.ndarray, cb_blocks: np.ndarray, cr_blocks: np.ndarray
+) -> np.ndarray:
+    """Per-MB 6-block tensor [nby, nbx, 6, 8, 8] in spec block order."""
+    nby, nbx = cb_blocks.shape[:2]
+    out = np.empty((nby, nbx, 6, 8, 8), dtype=y_blocks.dtype)
+    # y_blocks: [2*nby, 2*nbx, 8, 8]; spec order Y00, Y08, Y80, Y88
+    out[:, :, 0] = y_blocks[0::2, 0::2]
+    out[:, :, 1] = y_blocks[0::2, 1::2]
+    out[:, :, 2] = y_blocks[1::2, 0::2]
+    out[:, :, 3] = y_blocks[1::2, 1::2]
+    out[:, :, 4] = cb_blocks
+    out[:, :, 5] = cr_blocks
+    return out
+
+
+def _scatter_blocks(blocks6: np.ndarray):
+    """Inverse of _assemble_blocks: → (y_blocks, cb_blocks, cr_blocks)."""
+    nby, nbx = blocks6.shape[:2]
+    yb = np.empty((2 * nby, 2 * nbx, 8, 8), dtype=blocks6.dtype)
+    yb[0::2, 0::2] = blocks6[:, :, 0]
+    yb[0::2, 1::2] = blocks6[:, :, 1]
+    yb[1::2, 0::2] = blocks6[:, :, 2]
+    yb[1::2, 1::2] = blocks6[:, :, 3]
+    return yb, blocks6[:, :, 4], blocks6[:, :, 5]
+
+
+def _predict(cur: Frame, ref: Frame | None, is_inter: np.ndarray, dy, dx):
+    """Per-MB predictors (luma [nby,nbx,16,16], chroma [nby,nbx,8,8] ×2)."""
+    nby, nbx = dy.shape
+    pred_y = np.full((nby, nbx, spec.MB, spec.MB), 128, dtype=np.int32)
+    pred_cb = np.full((nby, nbx, spec.BLK, spec.BLK), 128, dtype=np.int32)
+    pred_cr = np.full((nby, nbx, spec.BLK, spec.BLK), 128, dtype=np.int32)
+    if ref is not None and is_inter.any():
+        refpad_y = spec.pad_ref(ref.y, spec.SEARCH_R)
+        refpad_cb = spec.pad_ref(ref.cb, spec.BLK)
+        refpad_cr = spec.pad_ref(ref.cr, spec.BLK)
+        cdy, cdx = dy >> 1, dx >> 1
+        m = is_inter[:, :, None, None]
+        pred_y = np.where(m, mc_fetch(refpad_y, dy, dx, spec.MB, spec.SEARCH_R), pred_y)
+        pred_cb = np.where(m, mc_fetch(refpad_cb, cdy, cdx, spec.BLK, spec.BLK), pred_cb)
+        pred_cr = np.where(m, mc_fetch(refpad_cr, cdy, cdx, spec.BLK, spec.BLK), pred_cr)
+    return pred_y, pred_cb, pred_cr
+
+
+def _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr) -> Frame:
+    """Shared encoder/decoder reconstruction (C14): bit-exact by construction."""
+    nby, nbx = qp_mb.shape
+    q = spec.QSTEP[qp_mb][:, :, None, None, None]
+    levels = np.zeros((nby, nbx, 6, 64), dtype=np.int32)
+    levels[..., spec.ZIGZAG] = levels_zz
+    coefs = spec.dequantize(levels.reshape(nby, nbx, 6, 8, 8), q)
+    resid = spec.inverse_transform(coefs)
+    yb, cbb, crb = _scatter_blocks(resid)
+    py = spec.unblockify(pred_y)
+    pcb = spec.unblockify(pred_cb)
+    pcr = spec.unblockify(pred_cr)
+    ry = np.clip(spec.unblockify(yb) + py, 0, 255).astype(np.int32)
+    rcb = np.clip(spec.unblockify(cbb) + pcb, 0, 255).astype(np.int32)
+    rcr = np.clip(spec.unblockify(crb) + pcr, 0, 255).astype(np.int32)
+    return Frame(ry, rcb, rcr)
+
+
+def encode_frame(
+    cfg: EncoderConfig,
+    cur: Frame,
+    ref: Frame | None,
+    frame_type: int,
+    base_qp: int,
+) -> FrameEncodeResult:
+    """Encode one frame per SPEC.md §§2–10. frame_type: 0=I, 1=P."""
+    nby, nbx = mb_grid(cur)
+    dc, icost = intra_cost_and_dc(cur.y)
+
+    if frame_type == 0:
+        is_inter = np.zeros((nby, nbx), dtype=bool)
+        dy = np.zeros((nby, nbx), dtype=np.int32)
+        dx = np.zeros((nby, nbx), dtype=np.int32)
+    else:
+        assert ref is not None
+        if cfg.search == "full":
+            dy, dx, best_sad = sad_full_search(cur.y, ref.y)
+        else:
+            dy, dx, best_sad = sad_diamond_search(cur.y, ref.y)
+        is_inter = best_sad <= icost  # ties → inter (SPEC.md §9)
+
+    if cfg.rc == "adaptive":
+        qp_mb = spec.adaptive_qp(base_qp, icost)
+    else:
+        qp_mb = np.full((nby, nbx), base_qp, dtype=np.int32)
+
+    pred_y, pred_cb, pred_cr = _predict(cur, ref, is_inter, dy, dx)
+
+    cur_yb = spec.blockify(cur.y, spec.MB)
+    resid_y = spec.blockify(spec.unblockify((cur_yb - pred_y)), spec.BLK)
+    resid_cb = spec.blockify(cur.cb, spec.BLK) - pred_cb
+    resid_cr = spec.blockify(cur.cr, spec.BLK) - pred_cr
+    blocks6 = _assemble_blocks(resid_y, resid_cb, resid_cr)
+
+    q = spec.QSTEP[qp_mb][:, :, None, None, None]
+    coefs = spec.forward_transform(blocks6)
+    levels = spec.quantize(coefs, q)
+    levels_zz = levels.reshape(nby, nbx, 6, 64)[..., spec.ZIGZAG]
+
+    recon = _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr)
+
+    # ---- entropy coding (C12): golden sequential bitwriter ----
+    bw = BitWriter()
+    mb_bits = np.zeros((nby, nbx), dtype=np.int64)
+    for my in range(nby):
+        for mx in range(nbx):
+            start = bw.nbits
+            inter = bool(is_inter[my, mx])
+            if frame_type == 1:
+                bw.put_ue(0 if inter else 1)
+                if inter:
+                    bw.put_se(int(dx[my, mx]))
+                    bw.put_se(int(dy[my, mx]))
+            bw.put_se(int(qp_mb[my, mx]) - base_qp)
+            for b in range(6):
+                zz = levels_zz[my, mx, b]
+                nz = np.nonzero(zz)[0]
+                if len(nz) == 0:
+                    bw.put(0, 1)
+                    continue
+                bw.put(1, 1)
+                bw.put_ue(len(nz) - 1)
+                prev = -1
+                for pos in nz:
+                    bw.put_ue(int(pos - prev - 1))
+                    bw.put_se(int(zz[pos]))
+                    prev = pos
+            mb_bits[my, mx] = bw.nbits - start
+
+    return FrameEncodeResult(
+        payload=bw.tobytes(),
+        payload_bits=bw.nbits,
+        recon=recon,
+        mb_bits=mb_bits,
+        n_intra=int((~is_inter).sum()) if frame_type == 1 else nby * nbx,
+        n_inter=int(is_inter.sum()) if frame_type == 1 else 0,
+    )
+
+
+# --------------------------------------------------------------------------
+# Frame decode (C16)
+# --------------------------------------------------------------------------
+
+
+def decode_frame(
+    width: int,
+    height: int,
+    frame_type: int,
+    base_qp: int,
+    payload: bytes,
+    payload_bits: int,
+    ref: Frame | None,
+) -> Frame:
+    """Decode one frame; reconstruction is bit-exact with the encoder's."""
+    wp, hp = spec.ceil_to(width, spec.MB), spec.ceil_to(height, spec.MB)
+    nby, nbx = hp // spec.MB, wp // spec.MB
+    br = BitReader(payload, payload_bits)
+
+    is_inter = np.zeros((nby, nbx), dtype=bool)
+    dy = np.zeros((nby, nbx), dtype=np.int32)
+    dx = np.zeros((nby, nbx), dtype=np.int32)
+    qp_mb = np.zeros((nby, nbx), dtype=np.int32)
+    levels_zz = np.zeros((nby, nbx, 6, 64), dtype=np.int32)
+
+    for my in range(nby):
+        for mx in range(nbx):
+            if frame_type == 1:
+                mode = br.get_ue()
+                if mode == 0:
+                    is_inter[my, mx] = True
+                    dx[my, mx] = br.get_se()
+                    dy[my, mx] = br.get_se()
+            qp_mb[my, mx] = base_qp + br.get_se()
+            for b in range(6):
+                if br.get(1) == 0:
+                    continue
+                nnz = br.get_ue() + 1
+                pos = -1
+                for _ in range(nnz):
+                    pos += br.get_ue() + 1
+                    levels_zz[my, mx, b, pos] = br.get_se()
+
+    # Dummy current frame (only geometry is used by _predict).
+    geom = Frame(
+        np.zeros((hp, wp), np.int32),
+        np.zeros((hp // 2, wp // 2), np.int32),
+        np.zeros((hp // 2, wp // 2), np.int32),
+    )
+    pred_y, pred_cb, pred_cr = _predict(geom, ref, is_inter, dy, dx)
+    return _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr)

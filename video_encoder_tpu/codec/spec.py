@@ -1,0 +1,210 @@
+"""TVC1 codec spec constants and integer primitives (numpy).
+
+Single source of truth for every pinned table/formula in /root/repo/SPEC.md.
+All implementations (numpy golden, jnp device path, Pallas kernels, C++
+oracle) must match these bit-exactly. Everything here is integer math —
+no floats anywhere in the codec path (SURVEY.md §7.0: bit-exactness across
+CPU/TPU/chip-counts requires exactly-specified integer arithmetic).
+
+Capability parity: reference components C9 (8x8 DCT), C10 (quant), C11
+(zigzag) of SURVEY.md §2 (reference mount empty; spec is our own design).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Transform (SPEC.md §3): B = round(1024 * orthonormal DCT-II 8x8), pinned.
+# --------------------------------------------------------------------------
+
+B_MATRIX = np.array(
+    [
+        [362, 362, 362, 362, 362, 362, 362, 362],
+        [502, 426, 284, 100, -100, -284, -426, -502],
+        [473, 196, -196, -473, -473, -196, 196, 473],
+        [426, -100, -502, -284, 284, 502, 100, -426],
+        [362, -362, -362, 362, 362, -362, -362, 362],
+        [284, -502, 100, 426, -426, -100, 502, -284],
+        [196, -473, 473, -196, -196, 473, -473, 196],
+        [100, -284, 426, -502, 502, -426, 284, -100],
+    ],
+    dtype=np.int32,
+)
+
+TX_SHIFT = 10  # both passes of forward and inverse
+
+# --------------------------------------------------------------------------
+# Quantizer step table (SPEC.md §4): QSTEP[qp] = max(1, floor(2^(qp/6)+0.5))
+# --------------------------------------------------------------------------
+
+QSTEP = np.array(
+    [max(1, int(2.0 ** (qp / 6.0) + 0.5)) for qp in range(64)], dtype=np.int32
+)
+
+QP_MIN, QP_MAX = 1, 63
+
+# --------------------------------------------------------------------------
+# Zigzag (SPEC.md §5): ZIGZAG[k] = raster index of k-th scan position.
+# --------------------------------------------------------------------------
+
+ZIGZAG = np.array(
+    # fmt: off
+    [
+         0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    # fmt: on
+    dtype=np.int32,
+)
+
+# Inverse: UNZIGZAG[raster] = scan position.
+UNZIGZAG = np.zeros(64, dtype=np.int32)
+UNZIGZAG[ZIGZAG] = np.arange(64, dtype=np.int32)
+
+# --------------------------------------------------------------------------
+# Geometry
+# --------------------------------------------------------------------------
+
+MB = 16          # luma macroblock size
+BLK = 8          # transform block size
+SEARCH_R = 16    # motion search radius (±16)
+N_CAND = (2 * SEARCH_R + 1) ** 2  # 33*33 = 1089 full-search candidates
+DIAMOND_MAX_STEPS = 16
+DIAMOND_EARLY_SAD = 512
+
+# Block offsets within an MB, spec order: Y00, Y08, Y80, Y88, Cb, Cr.
+LUMA_BLOCK_OFFSETS = ((0, 0), (0, 8), (8, 0), (8, 8))
+
+
+def rshift_round(v: np.ndarray, s: int) -> np.ndarray:
+    """sign(v) * ((|v| + 2^(s-1)) >> s) — round half away from zero."""
+    v = np.asarray(v)
+    mag = (np.abs(v) + (1 << (s - 1))) >> s
+    return np.where(v < 0, -mag, mag).astype(v.dtype)
+
+
+def forward_transform(x: np.ndarray) -> np.ndarray:
+    """ITX8 forward transform of int32 blocks shaped [..., 8, 8]."""
+    x = x.astype(np.int64)  # headroom; values bounded so int32 is safe, but
+    b = B_MATRIX.astype(np.int64)  # int64 avoids any numpy overflow warnings
+    t1 = np.einsum("ij,...jk->...ik", b, x)
+    t1r = rshift_round(t1, TX_SHIFT)
+    t2 = np.einsum("...ij,kj->...ik", t1r, b)
+    return rshift_round(t2, TX_SHIFT).astype(np.int32)
+
+
+def inverse_transform(c: np.ndarray) -> np.ndarray:
+    """ITX8 inverse transform of int32 coefficient blocks [..., 8, 8]."""
+    c = c.astype(np.int64)
+    b = B_MATRIX.astype(np.int64)
+    u1 = np.einsum("ji,...jk->...ik", b, c)  # B^T · D
+    u1r = rshift_round(u1, TX_SHIFT)
+    u2 = np.einsum("...ij,jk->...ik", u1r, b)  # · B
+    return rshift_round(u2, TX_SHIFT).astype(np.int32)
+
+
+def quantize(c: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """level = sign(C) * ((2|C| + q) // (2q)); q broadcastable to c."""
+    c = np.asarray(c, dtype=np.int64)
+    q = np.asarray(q, dtype=np.int64)
+    mag = (2 * np.abs(c) + q) // (2 * q)
+    return np.where(c < 0, -mag, mag).astype(np.int32)
+
+
+def dequantize(level: np.ndarray, q: np.ndarray) -> np.ndarray:
+    return (level.astype(np.int64) * np.asarray(q, dtype=np.int64)).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# Exp-Golomb (SPEC.md §6). Codes are (value, length) pairs, MSB-first.
+# --------------------------------------------------------------------------
+
+
+def ue_len(v: np.ndarray) -> np.ndarray:
+    """Bit length of ue(v) = 2*floor(log2(v+1)) + 1. Vectorized."""
+    v = np.asarray(v, dtype=np.int64)
+    # floor(log2(v+1)) == bit_length(v+1) - 1
+    k = bitlen(v + 1) - 1
+    return (2 * k + 1).astype(np.int32)
+
+
+def ue_val(v: np.ndarray) -> np.ndarray:
+    """Code value of ue(v) = v + 1 (occupying ue_len(v) bits MSB-first)."""
+    return (np.asarray(v, dtype=np.int64) + 1).astype(np.uint32)
+
+
+def se_map(v: np.ndarray) -> np.ndarray:
+    """Signed→unsigned map for se(v): v>0 → 2v-1, v<=0 → -2v."""
+    v = np.asarray(v, dtype=np.int64)
+    return np.where(v > 0, 2 * v - 1, -2 * v).astype(np.int64)
+
+
+def bitlen(x: np.ndarray) -> np.ndarray:
+    """floor(log2(x)) + 1 for x >= 1; 0 for x == 0. Vectorized, integer."""
+    x = np.asarray(x, dtype=np.int64)
+    out = np.zeros_like(x)
+    cur = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = cur >= (1 << shift)
+        out = np.where(big, out + shift, out)
+        cur = np.where(big, cur >> shift, cur)
+    return out + (cur > 0)
+
+
+# --------------------------------------------------------------------------
+# Rate control (SPEC.md §10)
+# --------------------------------------------------------------------------
+
+
+def adaptive_qp(base_qp: np.ndarray, act: np.ndarray) -> np.ndarray:
+    """rc=adaptive: qp_mb = clamp(base_qp + (bitlen(act) - 10), 1, 63)."""
+    qp = np.asarray(base_qp, dtype=np.int64) + (bitlen(act) - 10)
+    return np.clip(qp, QP_MIN, QP_MAX).astype(np.int32)
+
+
+def bitrate_next_qp(qp: int, bits_spent: int, target_bits: int) -> int:
+    """rc=bitrate frame-level update (GOP-local, SPEC.md §10)."""
+    t = max(target_bits, 1)
+    delta = ((bits_spent - target_bits) * 4) // t
+    delta = max(-2, min(2, delta))
+    return max(QP_MIN, min(QP_MAX, qp + delta))
+
+
+# --------------------------------------------------------------------------
+# Geometry helpers
+# --------------------------------------------------------------------------
+
+
+def ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_plane(plane: np.ndarray, mult: int) -> np.ndarray:
+    """Edge-replicate pad a 2-D plane to multiples of `mult` (SPEC.md §1)."""
+    h, w = plane.shape
+    hp, wp = ceil_to(h, mult), ceil_to(w, mult)
+    return np.pad(plane, ((0, hp - h), (0, wp - w)), mode="edge")
+
+
+def pad_ref(plane: np.ndarray, r: int) -> np.ndarray:
+    """Edge-replicate pad a reference plane by r on all sides (SPEC.md §2)."""
+    return np.pad(plane, r, mode="edge")
+
+
+def blockify(plane: np.ndarray, n: int) -> np.ndarray:
+    """[H, W] -> [H//n, W//n, n, n]."""
+    h, w = plane.shape
+    return plane.reshape(h // n, n, w // n, n).transpose(0, 2, 1, 3)
+
+
+def unblockify(blocks: np.ndarray) -> np.ndarray:
+    """[by, bx, n, n] -> [by*n, bx*n]."""
+    by, bx, n, _ = blocks.shape
+    return blocks.transpose(0, 2, 1, 3).reshape(by * n, bx * n)

@@ -1,0 +1,123 @@
+"""Clip-level encoder driver (reference components C1/C2/C15 driver level,
+SURVEY.md §2, §3.1–3.2).
+
+The reference's pthread stage pipeline (read → encode → mux [B:5]) becomes:
+host reads + GOP scheduling + RC here, per-frame encode by a pluggable
+*engine* (golden numpy, or the jnp/Pallas device engine), and the in-order
+host mux of codec/bitstream.py. GOPs are closed under prediction, so RC
+state is GOP-local (SPEC.md §10) and GOP-sharded encodes mux to the same
+bytes (SURVEY.md §4.3 invariant (c)).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import BinaryIO, Callable, Iterable
+
+import numpy as np
+
+from ..codec import spec
+from ..codec.bitstream import FramePacket, OrderedMux
+from ..codec.config import EncoderConfig
+from ..codec.golden import Frame, encode_frame
+from ..utils.metrics import FrameStats, RunSummary, psnr
+
+
+class GoldenEngine:
+    """Per-frame encode engine backed by the numpy golden model."""
+
+    def encode(self, cfg, cur: Frame, ref: Frame | None, frame_type: int, base_qp: int):
+        return encode_frame(cfg, cur, ref, frame_type, base_qp)
+
+
+def gop_schedule(n_frames: int, gop_n: int):
+    """Yield (frame_index, gop_index, frame_type) per frame ([B:7,8])."""
+    for i in range(n_frames):
+        pos = i % gop_n
+        yield i, i // gop_n, 0 if pos == 0 else 1
+
+
+def encode_gop(
+    cfg: EncoderConfig,
+    engine,
+    frames: list[Frame],
+    gop_index: int,
+    first_frame_index: int,
+    collect_stats: bool = True,
+) -> tuple[list[FramePacket], list[FrameStats]]:
+    """Encode one GOP (serial P-chain inside — SURVEY.md §3.2). Pure w.r.t.
+    RC: state starts fresh at the GOP boundary, making GOPs the unit of data
+    parallelism and of checkpoint/resume."""
+    packets, stats = [], []
+    base_qp = cfg.base_qp
+    target_bits = cfg.target_bits_per_frame()
+    ref: Frame | None = None
+    for k, cur in enumerate(frames):
+        ftype = 0 if k == 0 else 1
+        t0 = time.perf_counter()
+        res = engine.encode(cfg, cur, ref, ftype, base_qp)
+        ms = (time.perf_counter() - t0) * 1e3
+        idx = first_frame_index + k
+        packets.append(FramePacket(idx, ftype, base_qp, res.payload_bits, res.payload))
+        if collect_stats:
+            s = FrameStats(
+                index=idx,
+                frame_type=ftype,
+                base_qp=base_qp,
+                bits=res.payload_bits,
+                psnr_y=psnr(res.recon.y, cur.y),
+                psnr_cb=psnr(res.recon.cb, cur.cb),
+                psnr_cr=psnr(res.recon.cr, cur.cr),
+                ms=ms,
+                n_intra_mb=res.n_intra,
+                n_inter_mb=res.n_inter,
+            )
+            stats.append(s)
+        if cfg.rc == "bitrate" and target_bits > 0:
+            base_qp = spec.bitrate_next_qp(base_qp, res.payload_bits, target_bits)
+        ref = res.recon
+    return packets, stats
+
+
+def encode_clip(
+    cfg: EncoderConfig,
+    raw_frames: Iterable[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    out: BinaryIO,
+    n_frames: int,
+    engine=None,
+    on_frame: Callable[[FrameStats], None] | None = None,
+) -> RunSummary:
+    """Single-process clip encode: GOP-batched, in-order mux (C1+C2+C13)."""
+    engine = engine or GoldenEngine()
+    mux = OrderedMux(out, cfg, n_frames)
+    summary = RunSummary()
+    gop: list[Frame] = []
+    gop_start = 0
+    gop_idx = 0
+
+    def flush():
+        nonlocal gop, gop_start, gop_idx
+        if not gop:
+            return
+        packets, stats = encode_gop(cfg, engine, gop, gop_idx, gop_start)
+        for p in packets:
+            mux.push(p)
+        for s in stats:
+            summary.add(s)
+            if on_frame:
+                on_frame(s)
+        gop_start += len(gop)
+        gop_idx += 1
+        gop = []
+
+    count = 0
+    for y, cb, cr in raw_frames:
+        if count >= n_frames:
+            break
+        gop.append(Frame.from_planes(y, cb, cr))
+        count += 1
+        if len(gop) == cfg.gop_n:
+            flush()
+    flush()
+    mux.close()
+    return summary
