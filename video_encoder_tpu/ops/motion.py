@@ -1,0 +1,139 @@
+"""Device (jnp) motion estimation + compensation (SPEC.md §9; reference
+components C5–C8, SURVEY.md §2).
+
+Full search is a lax.scan over the 1089 candidate offsets with an
+incremental first-occurrence argmin (memory-light: no [1089, nMB] cost
+volume materialized); diamond search is the SPMD masked fixed-budget loop of
+SPEC.md §9. Pallas kernels (ops/pallas/) replace the scan on TPU; this jnp
+path is the portable bit-exact fallback and the fake-device mesh path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..codec import spec
+from .transform import blockify
+
+R = spec.SEARCH_R
+BIG = jnp.int32(1 << 30)
+
+
+def pad_ref(plane: jnp.ndarray, r: int) -> jnp.ndarray:
+    return jnp.pad(plane, r, mode="edge")
+
+
+def _mb_sums(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Per-n×n-block sums of a [H, W] array → [H//n, W//n] (int32)."""
+    return blockify(x, n).sum(axis=(2, 3))
+
+
+def full_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+    """Exhaustive ±16 SAD search. Returns (dy, dx, best_sad) per MB.
+
+    Candidate order row-major (dy, dx); strict-< update keeps the first
+    minimum, matching golden.sad_full_search / SPEC.md §9.
+    """
+    h, w = cur_y.shape
+    refpad = pad_ref(ref_y, R)
+
+    def step(carry, k):
+        best_sad, best_k = carry
+        dy, dx = k // (2 * R + 1), k % (2 * R + 1)
+        shifted = jax.lax.dynamic_slice(refpad, (dy, dx), (h, w))
+        sad = _mb_sums(jnp.abs(cur_y - shifted), spec.MB)
+        better = sad < best_sad
+        return (jnp.where(better, sad, best_sad), jnp.where(better, k, best_k)), None
+
+    nby, nbx = h // spec.MB, w // spec.MB
+    init = (jnp.full((nby, nbx), BIG, jnp.int32), jnp.zeros((nby, nbx), jnp.int32))
+    (best_sad, best_k), _ = jax.lax.scan(step, init, jnp.arange(spec.N_CAND, dtype=jnp.int32))
+    dy = best_k // (2 * R + 1) - R
+    dx = best_k % (2 * R + 1) - R
+    return dy, dx, best_sad
+
+
+def mc_fetch(refpad: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray, bs: int, r: int):
+    """Per-MB predictor gather [nby, nbx, bs, bs] (C8), refpad padded by r."""
+    nby, nbx = dy.shape
+    my = jnp.arange(nby)[:, None, None, None] * bs
+    mx = jnp.arange(nbx)[None, :, None, None] * bs
+    ii = jnp.arange(bs)[None, None, :, None]
+    jj = jnp.arange(bs)[None, None, None, :]
+    rows = r + my + dy[:, :, None, None] + ii
+    cols = r + mx + dx[:, :, None, None] + jj
+    return refpad[rows, cols]
+
+
+def sad_at(cur_blocks: jnp.ndarray, refpad: jnp.ndarray, dy, dx):
+    """SAD per MB at per-MB mv; cur_blocks = blockify(cur_y, 16)."""
+    pred = mc_fetch(refpad, dy, dx, spec.MB, R)
+    return jnp.abs(cur_blocks - pred).sum(axis=(2, 3))
+
+
+def diamond_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+    """Masked fixed-budget diamond search (SPEC.md §9), bit-exact with
+    golden.sad_diamond_search (early-exit becomes early-freeze)."""
+    refpad = pad_ref(ref_y, R)
+    cur_blocks = blockify(cur_y, spec.MB)
+    nby, nbx = cur_blocks.shape[:2]
+
+    dy = jnp.zeros((nby, nbx), jnp.int32)
+    dx = jnp.zeros((nby, nbx), jnp.int32)
+    cost = sad_at(cur_blocks, refpad, dy, dx)
+    frozen = cost < spec.DIAMOND_EARLY_SAD
+
+    def evaluate(dy, dx, cost, frozen, offsets):
+        cand_cost = [cost]
+        cand_dy, cand_dx = [dy], [dx]
+        for ody, odx in offsets:
+            ndy, ndx = dy + ody, dx + odx
+            valid = (jnp.abs(ndy) <= R) & (jnp.abs(ndx) <= R)
+            c = jnp.where(
+                valid,
+                sad_at(cur_blocks, refpad, jnp.clip(ndy, -R, R), jnp.clip(ndx, -R, R)),
+                BIG,
+            )
+            cand_cost.append(c)
+            cand_dy.append(ndy)
+            cand_dx.append(ndx)
+        cc = jnp.stack(cand_cost)
+        widx = jnp.argmin(cc, axis=0)  # first occurrence == candidate order
+        wdy = jnp.take_along_axis(jnp.stack(cand_dy), widx[None], 0)[0]
+        wdx = jnp.take_along_axis(jnp.stack(cand_dx), widx[None], 0)[0]
+        wcost = jnp.take_along_axis(cc, widx[None], 0)[0]
+        ndy = jnp.where(frozen, dy, wdy)
+        ndx = jnp.where(frozen, dx, wdx)
+        ncost = jnp.where(frozen, cost, wcost)
+        moved = (widx != 0) & ~frozen
+        return ndy, ndx, ncost, moved
+
+    large = ((-2, 0), (0, -2), (0, 2), (2, 0))
+    small = ((-1, 0), (0, -1), (0, 1), (1, 0))
+
+    def body(_, state):
+        dy, dx, cost, frozen = state
+        dy, dx, cost, moved = evaluate(dy, dx, cost, frozen, large)
+        frozen = frozen | ~moved | (cost < spec.DIAMOND_EARLY_SAD)
+        return dy, dx, cost, frozen
+
+    dy, dx, cost, frozen = jax.lax.fori_loop(
+        0, spec.DIAMOND_MAX_STEPS, body, (dy, dx, cost, frozen)
+    )
+    dy, dx, cost, _ = evaluate(dy, dx, cost, jnp.zeros_like(frozen), small)
+    return dy, dx, cost
+
+
+def intra_cost_and_dc(cur_y: jnp.ndarray):
+    """Per-MB DC and SAD-vs-DC (SPEC.md §9/§10)."""
+    blocks = blockify(cur_y, spec.MB)
+    dc = (blocks.sum(axis=(2, 3)) + 128) >> 8
+    cost = jnp.abs(blocks - dc[:, :, None, None]).sum(axis=(2, 3))
+    return dc, cost
+
+
+def adaptive_qp(base_qp, act):
+    """rc=adaptive per-MB QP (SPEC.md §10); bitlen via 32 - clz."""
+    blen = jnp.where(act > 0, 32 - jax.lax.clz(act.astype(jnp.int32)), 0)
+    return jnp.clip(base_qp + (blen - 10), spec.QP_MIN, spec.QP_MAX).astype(jnp.int32)

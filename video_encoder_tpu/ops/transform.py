@@ -1,0 +1,76 @@
+"""Device (jnp) integer transform + quantization (SPEC.md §3–4; reference
+components C9/C10, SURVEY.md §2).
+
+All int32, bit-exact with codec/spec.py numpy primitives — XLA integer
+semantics are exact, so CPU≡TPU equality holds by construction. Batched over
+the whole macroblock grid (SURVEY.md §7.0: "Batch over macroblocks, not
+loops over them"); the 8×8 matrix products are MXU-eligible contractions.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec import spec
+
+B = jnp.asarray(spec.B_MATRIX, dtype=jnp.int32)
+QSTEP = jnp.asarray(spec.QSTEP, dtype=jnp.int32)
+
+
+def rshift_round(v: jnp.ndarray, s: int) -> jnp.ndarray:
+    mag = (jnp.abs(v) + (1 << (s - 1))) >> s
+    return jnp.where(v < 0, -mag, mag)
+
+
+def forward_transform(x: jnp.ndarray) -> jnp.ndarray:
+    """ITX8 forward transform of int32 blocks [..., 8, 8]."""
+    t1 = jnp.einsum("ij,...jk->...ik", B, x, preferred_element_type=jnp.int32)
+    t1r = rshift_round(t1, spec.TX_SHIFT)
+    t2 = jnp.einsum("...ij,kj->...ik", t1r, B, preferred_element_type=jnp.int32)
+    return rshift_round(t2, spec.TX_SHIFT)
+
+
+def inverse_transform(c: jnp.ndarray) -> jnp.ndarray:
+    """ITX8 inverse transform of int32 coefficient blocks [..., 8, 8]."""
+    u1 = jnp.einsum("ji,...jk->...ik", B, c, preferred_element_type=jnp.int32)
+    u1r = rshift_round(u1, spec.TX_SHIFT)
+    u2 = jnp.einsum("...ij,jk->...ik", u1r, B, preferred_element_type=jnp.int32)
+    return rshift_round(u2, spec.TX_SHIFT)
+
+
+def quantize(c: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """level = sign(C) * ((2|C| + q) // (2q)). |C| ≤ 4095 so int32 is safe."""
+    mag = (2 * jnp.abs(c) + q) // (2 * q)
+    return jnp.where(c < 0, -mag, mag)
+
+
+def dequantize(level: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    return level * q
+
+
+def blockify(plane: jnp.ndarray, n: int) -> jnp.ndarray:
+    h, w = plane.shape
+    return plane.reshape(h // n, n, w // n, n).transpose(0, 2, 1, 3)
+
+
+def unblockify(blocks: jnp.ndarray) -> jnp.ndarray:
+    by, bx, n, _ = blocks.shape
+    return blocks.transpose(0, 2, 1, 3).reshape(by * n, bx * n)
+
+
+# Zigzag as a gather; UNZIGZAG scatter for the decoder side.
+ZIGZAG = jnp.asarray(spec.ZIGZAG)
+UNZIGZAG = jnp.asarray(spec.UNZIGZAG)
+
+
+def zigzag(levels_8x8: jnp.ndarray) -> jnp.ndarray:
+    """[..., 8, 8] -> [..., 64] in zigzag scan order (C11)."""
+    flat = levels_8x8.reshape(*levels_8x8.shape[:-2], 64)
+    return flat[..., ZIGZAG]
+
+
+def unzigzag(levels_zz: jnp.ndarray) -> jnp.ndarray:
+    """[..., 64] zigzag order -> [..., 8, 8] raster blocks."""
+    flat = levels_zz[..., UNZIGZAG]
+    return flat.reshape(*levels_zz.shape[:-1], 8, 8)
