@@ -1,0 +1,288 @@
+"""Pallas TPU kernels for SAD motion search and motion compensation
+(reference components C5–C8, SURVEY.md §2; SPEC.md §9).
+
+Design (see /opt/skills/guides/pallas_guide.md):
+- Grid tiles of 4×8 macroblocks (64×128 px — lane-aligned for int32).
+- The padded reference stays in HBM (pl.ANY); each grid step DMAs its
+  96×160 halo window into VMEM scratch once, then the candidate loop is
+  pure VPU work over VMEM (dynamic slices + abs-diff + per-MB reduction).
+- Full search: fori_loop over the 1089 candidates with strict-< running
+  argmin (first-occurrence tie-break == SPEC.md §9 row-major order).
+- sad_at_mv / mc_fetch: per-MB dynamic slices inside the same windows,
+  used by the diamond search steps and the predictor fetch.
+
+All int32 in, int32 out — bit-exact with ops/motion.py (the jnp fallback);
+dispatch picks pallas on TPU backends (ops/dispatch.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...codec import spec
+
+R = spec.SEARCH_R          # 16
+MB = spec.MB               # 16
+TM, TN = 4, 8              # MBs per tile
+TH, TW = TM * MB, TN * MB  # 64 x 128 px per tile
+WH, WW = TH + 2 * R, TW + 2 * R  # 96 x 160 logical window
+WWA = TW + 128                   # lane-aligned window width for DMA (256)
+
+
+def _mb_sums(x):
+    """[TH, TW] -> per-MB sums [TM, TN] (int32)."""
+    return x.reshape(TM, MB, TN, MB).sum(axis=(1, 3))
+
+
+def _to_tiles(a, gy, gx):
+    """[gy*TM, gx*TN] MB-array -> [gy, gx, TM, TN] (for (1,1,TM,TN) blocks)."""
+    return a.reshape(gy, TM, gx, TN).transpose(0, 2, 1, 3)
+
+
+def _from_tiles(a):
+    gy, gx = a.shape[:2]
+    return a.transpose(0, 2, 1, 3).reshape(gy * TM, gx * TN)
+
+
+def _mb_block_spec():
+    return pl.BlockSpec((1, 1, TM, TN), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _full_search_kernel(refpad_hbm, cur_ref, sad_ref, idx_ref, win, rots, sem):
+    i, j = pl.program_id(0), pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        refpad_hbm.at[pl.ds(i * TH, WH), pl.ds(j * TW, WWA)], win, sem
+    )
+    dma.start()
+    cur = cur_ref[:].astype(jnp.float32)
+    dma.wait()
+
+    # 8 row-rotated copies so any dy slice becomes sublane-aligned:
+    # rots[r][q*8 : q*8+TH] == win[q*8+r : q*8+r+TH]  for dy = 8q + r.
+    w0 = win[:]
+    for r in range(8):
+        rots[r] = pltpu.roll(w0, (WH - r) % WH, 0)  # rots[r][i] == w0[i + r]
+
+    # per-MB reductions on the MXU: left [TM, TH] row-block ones,
+    # right [TW, TN] col-block ones; sums <= 65280 are exact in f32.
+    rowb = jax.lax.broadcasted_iota(jnp.int32, (TM, TH), 1) // MB
+    left = (rowb == jax.lax.broadcasted_iota(jnp.int32, (TM, TH), 0)).astype(jnp.float32)
+    colb = jax.lax.broadcasted_iota(jnp.int32, (TW, TN), 0) // MB
+    right = (colb == jax.lax.broadcasted_iota(jnp.int32, (TW, TN), 1)).astype(jnp.float32)
+
+    def body(dy, carry):
+        best_sad, best_idx = carry
+        r = jax.lax.rem(dy, 8)
+        q8 = pl.multiple_of(dy - r, 8)
+        strip = rots[r, pl.ds(q8, TH), :].astype(jnp.float32)  # [TH, WW]
+        for dx in range(2 * R + 1):  # static unroll: lane slices of a value
+            cand = jax.lax.slice(strip, (0, dx), (TH, dx + TW))
+            diff = jnp.abs(cur - cand)
+            colsum = jax.lax.dot_general(
+                diff, right, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            sad = jax.lax.dot_general(
+                left, colsum, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # colsum > 2048 is not bf16-exact
+            ).astype(jnp.int32)
+            better = sad < best_sad
+            k = dy * (2 * R + 1) + dx
+            best_sad = jnp.where(better, sad, best_sad)
+            best_idx = jnp.where(better, k, best_idx)
+        return best_sad, best_idx
+
+    init = (
+        jnp.full((TM, TN), jnp.int32(1 << 30)),
+        jnp.zeros((TM, TN), jnp.int32),
+    )
+    best_sad, best_idx = jax.lax.fori_loop(0, 2 * R + 1, body, init)
+    sad_ref[0, 0] = best_sad
+    idx_ref[0, 0] = best_idx
+
+
+@functools.partial(jax.jit, static_argnames=())
+def full_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+    """Exhaustive ±16 SAD search on TPU. Same contract as motion.full_search.
+
+    cur_y, ref_y: [H, W] int32 with H % 16 == 0, W % 16 == 0.
+    """
+    h, w = cur_y.shape
+    nby, nbx = h // MB, w // MB
+    # pad the MB grid up to tile multiples (extra MBs discarded at the end)
+    gy = -(-nby // TM) * TM
+    gx = -(-nbx // TN) * TN
+    hp, wp = gy * MB, gx * MB
+    cur_p = jnp.pad(cur_y, ((0, hp - h), (0, wp - w)))
+    ref_p = jnp.pad(ref_y, ((0, hp - h), (0, wp - w)), mode="edge")
+    refpad = jnp.pad(ref_p, ((R, R), (R, R + (WWA - WW))), mode="edge")
+
+    sad, idx = pl.pallas_call(
+        _full_search_kernel,
+        grid=(gy // TM, gx // TN),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # refpad stays in HBM
+            pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[_mb_block_spec(), _mb_block_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((gy // TM, gx // TN, TM, TN), jnp.int32),
+            jax.ShapeDtypeStruct((gy // TM, gx // TN, TM, TN), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WH, WWA), jnp.int32),
+            pltpu.VMEM((8, WH, WWA), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(refpad, cur_p)
+
+    sad = _from_tiles(sad)[:nby, :nbx]
+    idx = _from_tiles(idx)[:nby, :nbx]
+    dy = idx // (2 * R + 1) - R
+    dx = idx % (2 * R + 1) - R
+    return dy, dx, sad
+
+
+def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
+    """Build (sad_at, mc_fetch) kernels for block size `bs` and search/pad
+    radius `radius`, tiled tm×tn blocks per grid step.
+
+    Luma uses (16, 16, 4, 8); chroma (8, 8, 4, 16) — tile px = (tm*bs, tn*bs)
+    with tn*bs a lane multiple (128).
+    """
+    th, tw = tm * bs, tn * bs
+    wh = th + 2 * radius
+    wh = -(-wh // 8) * 8            # sublane-pad window height
+    wwa = tw + 128                  # lane-aligned window width
+    assert tw % 128 == 0 and th % 8 == 0
+
+    def block_at(rots, row, col):
+        # rows [row, row+bs) of the window are rows [0, bs) of the slice of
+        # copy r = row % 8 starting at the aligned offset row - r.
+        r = jax.lax.rem(row, 8)
+        q8 = pl.multiple_of(row - r, 8)
+        take = -(-(bs + 7) // 8) * 8
+        strip = rots[r, pl.ds(q8, take), :]
+        rolled = pltpu.roll(strip, (wwa - col) % wwa, 1)
+        return jax.lax.slice(rolled, (0, 0), (bs, bs))
+
+    def build_rots(win, rots):
+        w0 = win[:]
+        for r in range(8):
+            rots[r] = pltpu.roll(w0, (wh - r) % wh, 0)
+
+    def sad_kernel(refpad_hbm, cur_ref, dy_ref, dx_ref, out_ref, win, rots, sem):
+        i, j = pl.program_id(0), pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            refpad_hbm.at[pl.ds(i * th, wh), pl.ds(j * tw, wwa)], win, sem
+        )
+        dma.start()
+        dma.wait()
+        build_rots(win, rots)
+        acc = jnp.zeros((tm, tn), jnp.int32)
+        for my in range(tm):
+            for mx in range(tn):
+                row = my * bs + dy_ref[0, 0, my, mx] + radius
+                col = mx * bs + dx_ref[0, 0, my, mx] + radius
+                cand = block_at(rots, row, col)
+                cblk = cur_ref[my * bs : (my + 1) * bs, mx * bs : (mx + 1) * bs]
+                onehot = (
+                    (jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0) == my)
+                    & (jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1) == mx)
+                ).astype(jnp.int32)
+                acc = acc + onehot * jnp.abs(cblk - cand).sum()
+        out_ref[0, 0] = acc
+
+    def mc_kernel(refpad_hbm, dy_ref, dx_ref, out_ref, win, rots, sem):
+        i, j = pl.program_id(0), pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            refpad_hbm.at[pl.ds(i * th, wh), pl.ds(j * tw, wwa)], win, sem
+        )
+        dma.start()
+        dma.wait()
+        build_rots(win, rots)
+        for my in range(tm):
+            for mx in range(tn):
+                row = my * bs + dy_ref[0, 0, my, mx] + radius
+                col = mx * bs + dx_ref[0, 0, my, mx] + radius
+                out_ref[my * bs : (my + 1) * bs, mx * bs : (mx + 1) * bs] = block_at(
+                    rots, row, col
+                )
+
+    def to_tiles(a, gy, gx):
+        return a.reshape(gy, tm, gx, tn).transpose(0, 2, 1, 3)
+
+    def mb_spec():
+        return pl.BlockSpec(
+            (1, 1, tm, tn), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def tile_call(kernel, cur_y, ref_y, dy, dx, out_is_plane):
+        h, w = cur_y.shape
+        nby, nbx = h // bs, w // bs
+        gy = -(-nby // tm) * tm
+        gx = -(-nbx // tn) * tn
+        hp, wp = gy * bs, gx * bs
+        cur_p = jnp.pad(cur_y, ((0, hp - h), (0, wp - w)))
+        ref_p = jnp.pad(ref_y, ((0, hp - h), (0, wp - w)), mode="edge")
+        # window rows span [i*th - radius, i*th - radius + wh); shift by
+        # `radius` top pad: rows [i*th, i*th + wh) of refpad.
+        refpad = jnp.pad(
+            ref_p,
+            ((radius, wh - radius), (radius, wwa - tw - radius)),
+            mode="edge",
+        )
+        dy_p = to_tiles(jnp.pad(dy, ((0, gy - nby), (0, gx - nbx))), gy // tm, gx // tn)
+        dx_p = to_tiles(jnp.pad(dx, ((0, gy - nby), (0, gx - nbx))), gy // tm, gx // tn)
+
+        if out_is_plane:
+            out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
+            in_specs = [pl.BlockSpec(memory_space=pltpu.ANY), mb_spec(), mb_spec()]
+            args = (refpad, dy_p, dx_p)
+        else:
+            out_spec = mb_spec()
+            out_shape = jax.ShapeDtypeStruct((gy // tm, gx // tn, tm, tn), jnp.int32)
+            in_specs = [
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                mb_spec(),
+                mb_spec(),
+            ]
+            args = (refpad, cur_p, dy_p, dx_p)
+
+        out = pl.pallas_call(
+            kernel,
+            grid=(gy // tm, gx // tn),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((wh, wwa), jnp.int32),
+                pltpu.VMEM((8, wh, wwa), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(*args)
+        if out_is_plane:
+            return out[:h, :w]
+        return out.transpose(0, 2, 1, 3).reshape(gy, gx)[:nby, :nbx]
+
+    @jax.jit
+    def sad_at(cur, ref, dy, dx):
+        return tile_call(sad_kernel, cur, ref, dy, dx, False)
+
+    @jax.jit
+    def mc_fetch(ref, dy, dx):
+        return tile_call(mc_kernel, ref, ref, dy, dx, True)
+
+    return sad_at, mc_fetch
+
+
+sad_at_mv, mc_fetch_plane = make_mc_kernels(MB, R, TM, TN)
+sad_at_mv_chroma, mc_fetch_plane_chroma = make_mc_kernels(spec.BLK, spec.BLK, 4, 16)
