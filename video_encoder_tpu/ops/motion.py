@@ -77,11 +77,20 @@ def diamond_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
     golden.sad_diamond_search (early-exit becomes early-freeze)."""
     refpad = pad_ref(ref_y, R)
     cur_blocks = blockify(cur_y, spec.MB)
-    nby, nbx = cur_blocks.shape[:2]
+    return diamond_search_with(
+        cur_y, ref_y, lambda dy, dx: sad_at(cur_blocks, refpad, dy, dx)
+    )
+
+
+def diamond_search_with(cur_y: jnp.ndarray, ref_y: jnp.ndarray, sad_fn):
+    """Diamond search parameterized over the per-MB SAD evaluator, so the
+    Pallas kernel can be slotted in on TPU (ops/dispatch.py)."""
+    h, w = cur_y.shape
+    nby, nbx = h // spec.MB, w // spec.MB
 
     dy = jnp.zeros((nby, nbx), jnp.int32)
     dx = jnp.zeros((nby, nbx), jnp.int32)
-    cost = sad_at(cur_blocks, refpad, dy, dx)
+    cost = sad_fn(dy, dx)
     frozen = cost < spec.DIAMOND_EARLY_SAD
 
     def evaluate(dy, dx, cost, frozen, offsets):
@@ -92,7 +101,7 @@ def diamond_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
             valid = (jnp.abs(ndy) <= R) & (jnp.abs(ndx) <= R)
             c = jnp.where(
                 valid,
-                sad_at(cur_blocks, refpad, jnp.clip(ndy, -R, R), jnp.clip(ndx, -R, R)),
+                sad_fn(jnp.clip(ndy, -R, R), jnp.clip(ndx, -R, R)),
                 BIG,
             )
             cand_cost.append(c)

@@ -1,0 +1,279 @@
+"""GOP-resident device encoder — the production TPU path.
+
+One jitted XLA program encodes an entire GOP: lax.scan over frames carries
+the reconstruction (the §3.2 serial P-chain) entirely on device; uint8
+frames are uploaded once per GOP and only packed payload words + per-frame
+stats come back. This replaces the reference's pthread per-frame pipeline
+hops ([B:5]) with zero host round-trips inside a GOP (SURVEY.md §2.1 PP
+row: "within-device the stage fusion is one XLA program").
+
+Payload capacity is budgeted (K coded coeffs/block, words/MB, words/frame)
+with exact on-device overflow detection; an overflowing GOP is re-encoded
+by the worst-case-capacity variant (bit-exact either way).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec import entropy, spec
+from ..codec.bitstream import FramePacket
+from ..codec.config import EncoderConfig
+from ..codec.golden import Frame
+from ..ops import dispatch, motion, transform as tx
+from ..utils.metrics import FrameStats
+from .device_engine import assemble_blocks, scatter_blocks
+
+
+def _k_for_qp(qp: int) -> int:
+    """Coded-coefficient budget per block; overflow falls back to 64."""
+    if qp >= 32:
+        return 12
+    if qp >= 20:
+        return 24
+    if qp >= 10:
+        return 40
+    return 64
+
+
+def _code_frame(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb):
+    """Shared transform→quant→zigzag→recon stages (C9–C11, C14)."""
+    cur_yb = tx.blockify(cur_y, spec.MB)
+    pred_yb = tx.blockify(pred_y, spec.MB)
+    resid_y8 = tx.blockify(cur_y - pred_y, spec.BLK)
+    resid_cb = tx.blockify(cur_cb - pred_cb, spec.BLK)
+    resid_cr = tx.blockify(cur_cr - pred_cr, spec.BLK)
+    nby, nbx = qp_mb.shape
+    blocks6 = assemble_blocks(
+        resid_y8,
+        resid_cb.reshape(nby, nbx, 8, 8),
+        resid_cr.reshape(nby, nbx, 8, 8),
+    )
+    q = tx.QSTEP[qp_mb][:, :, None, None, None]
+    coefs = tx.forward_transform(blocks6)
+    levels_zz = tx.zigzag(tx.quantize(coefs, q))
+
+    deq = tx.dequantize(tx.unzigzag(levels_zz), q)
+    resid_rec = tx.inverse_transform(deq)
+    yb, cbb, crb = scatter_blocks(resid_rec)
+    rec_y = jnp.clip(tx.unblockify(yb) + pred_y, 0, 255)
+    rec_cb = jnp.clip(tx.unblockify(cbb) + pred_cb, 0, 255)
+    rec_cr = jnp.clip(tx.unblockify(crb) + pred_cr, 0, 255)
+    return levels_zz, rec_y, rec_cb, rec_cr
+
+
+def _sse(a, b):
+    d = (a - b).astype(jnp.float32)
+    return jnp.sum(d * d)
+
+
+def encode_frame_traced(
+    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
+    *, is_p: bool, search: str, rc: str, k_coeffs: int, mb_words: int, cap_words: int,
+):
+    """One frame, traceable; is_p/search/rc are static (two cond branches)."""
+    dc, icost = motion.intra_cost_and_dc(cur_y)
+    nby, nbx = icost.shape
+
+    if is_p:
+        if search == "full":
+            dy, dx, best_sad = dispatch.full_search(cur_y, ref_y)
+        else:
+            dy, dx, best_sad = dispatch.diamond_search(cur_y, ref_y)
+        is_inter = best_sad <= icost
+        m_y = jnp.repeat(jnp.repeat(is_inter, spec.MB, 0), spec.MB, 1)
+        m_c = jnp.repeat(jnp.repeat(is_inter, spec.BLK, 0), spec.BLK, 1)
+        cdy, cdx = dy >> 1, dx >> 1
+        pred_y = jnp.where(m_y, dispatch.mc_fetch_luma_plane(ref_y, dy, dx), 128)
+        pred_cb = jnp.where(m_c, dispatch.mc_fetch_chroma_plane(ref_cb, cdy, cdx), 128)
+        pred_cr = jnp.where(m_c, dispatch.mc_fetch_chroma_plane(ref_cr, cdy, cdx), 128)
+    else:
+        dy = jnp.zeros((nby, nbx), jnp.int32)
+        dx = jnp.zeros((nby, nbx), jnp.int32)
+        is_inter = jnp.zeros((nby, nbx), jnp.bool_)
+        pred_y = jnp.full_like(cur_y, 128)
+        pred_cb = jnp.full_like(cur_cb, 128)
+        pred_cr = jnp.full_like(cur_cr, 128)
+
+    if rc == "adaptive":
+        qp_mb = motion.adaptive_qp(base_qp, icost)
+    else:
+        qp_mb = jnp.full((nby, nbx), base_qp, jnp.int32)
+
+    levels_zz, rec_y, rec_cb, rec_cr = _code_frame(
+        cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb
+    )
+
+    values, lengths, ovf_k = entropy.mb_symbols_compact(
+        levels_zz, qp_mb - base_qp, jnp.asarray(is_p), is_inter, dy, dx, k_coeffs
+    )
+    words, total_bits, mb_bits, ovf_p = entropy.pack_frame(
+        values, lengths, mb_words, cap_words
+    )
+    sse = jnp.stack([_sse(cur_y, rec_y), _sse(cur_cb, rec_cb), _sse(cur_cr, rec_cr)])
+    return dict(
+        words=words,
+        bits=total_bits,
+        ovf=ovf_k | ovf_p,
+        n_inter=is_inter.sum().astype(jnp.int32),
+        rec_y=rec_y,
+        rec_cb=rec_cb,
+        rec_cr=rec_cr,
+        sse=sse,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search", "rc", "k_coeffs", "mb_words", "cap_words", "target_bits"),
+)
+def encode_gop_jit(
+    y_u8, cb_u8, cr_u8, base_qp,
+    *, search: str, rc: str, k_coeffs: int, mb_words: int, cap_words: int,
+    target_bits: int,
+):
+    """Encode a [T, ...] uint8 GOP on device. Returns stacked per-frame
+    outputs (words/bits/ovf/qp/n_inter/sse)."""
+    t_frames = y_u8.shape[0]
+
+    def body(carry, xs):
+        ref_y, ref_cb, ref_cr, qp = carry
+        cur_y = xs["y"].astype(jnp.int32)
+        cur_cb = xs["cb"].astype(jnp.int32)
+        cur_cr = xs["cr"].astype(jnp.int32)
+        idx = xs["i"]
+
+        kw = dict(search=search, rc=rc, k_coeffs=k_coeffs,
+                  mb_words=mb_words, cap_words=cap_words)
+        out = jax.lax.cond(
+            idx > 0,
+            lambda: encode_frame_traced(
+                cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp, is_p=True, **kw
+            ),
+            lambda: encode_frame_traced(
+                cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp, is_p=False, **kw
+            ),
+        )
+        qp_used = qp
+        if rc == "bitrate" and target_bits > 0:
+            t = max(target_bits, 1)
+            delta = jnp.clip(((out["bits"] - t) * 4) // t, -2, 2)
+            qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
+        carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp)
+        emit = dict(
+            words=out["words"], bits=out["bits"], ovf=out["ovf"],
+            n_inter=out["n_inter"], qp=qp_used, sse=out["sse"],
+        )
+        return carry, emit
+
+    init = (
+        jnp.zeros(y_u8.shape[1:], jnp.int32),
+        jnp.zeros(cb_u8.shape[1:], jnp.int32),
+        jnp.zeros(cr_u8.shape[1:], jnp.int32),
+        jnp.asarray(base_qp, jnp.int32),
+    )
+    xs = dict(
+        y=y_u8, cb=cb_u8, cr=cr_u8, i=jnp.arange(t_frames, dtype=jnp.int32)
+    )
+    _, outs = jax.lax.scan(body, init, xs)
+    return outs
+
+
+def _bucket(n: int) -> int:
+    """Round a word count up to a coarse bucket to bound slice recompiles."""
+    b = 4096
+    while b < n:
+        b *= 2
+    return b
+
+
+class GopEngine:
+    """Host driver for the GOP-resident device path.
+
+    encode_gop(frames, first_index, base_qp) -> (packets, stats); falls back
+    to worst-case capacities when the budgeted pack overflows (bit-exact
+    either way, SPEC.md §11 invariant 2).
+    """
+
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+
+    def _run(self, y, cb, cr, base_qp: int, xl: bool):
+        cfg = self.cfg
+        n_mbs = (y.shape[1] // spec.MB) * (y.shape[2] // spec.MB)
+        if xl:
+            k, mbw = 64, (entropy.MAX_MB_BITS + 31) // 32 + 1
+            cap = entropy.max_words(n_mbs)
+        else:
+            k = _k_for_qp(base_qp)
+            mbw = 64
+            cap = entropy.capacity_words(n_mbs, 1024)
+        return encode_gop_jit(
+            y, cb, cr, base_qp,
+            search=cfg.search, rc=cfg.rc, k_coeffs=k, mb_words=mbw,
+            cap_words=cap, target_bits=cfg.target_bits_per_frame(),
+        )
+
+    def encode_gop(
+        self, frames: list[Frame], first_index: int, base_qp: int | None = None
+    ) -> tuple[list[FramePacket], list[FrameStats]]:
+        cfg = self.cfg
+        base_qp = cfg.base_qp if base_qp is None else base_qp
+        t0 = time.perf_counter()
+        y = jnp.asarray(np.stack([f.y for f in frames]).astype(np.uint8))
+        cb = jnp.asarray(np.stack([f.cb for f in frames]).astype(np.uint8))
+        cr = jnp.asarray(np.stack([f.cr for f in frames]).astype(np.uint8))
+
+        outs = self._run(y, cb, cr, base_qp, xl=False)
+        if bool(outs["ovf"].any()):
+            outs = self._run(y, cb, cr, base_qp, xl=True)
+
+        bits = np.asarray(outs["bits"])
+        qps = np.asarray(outs["qp"])
+        n_inter = np.asarray(outs["n_inter"])
+        sse = np.asarray(outs["sse"])
+
+        # one bucketed slice + uint8-bitcast download for the whole GOP
+        maxw = int(bits.max() + 31) // 32 if len(bits) else 0
+        bw = min(_bucket(max(maxw, 1)), outs["words"].shape[1])
+        words_u8 = jax.lax.bitcast_convert_type(
+            outs["words"][:, :bw], jnp.uint8
+        )
+        words_host = np.ascontiguousarray(np.asarray(words_u8))  # [T, bw, 4] LE bytes
+        ms_total = (time.perf_counter() - t0) * 1e3
+
+        packets, stats = [], []
+        n_mbs = (frames[0].y.shape[0] // spec.MB) * (frames[0].y.shape[1] // spec.MB)
+        npix_y = frames[0].y.size
+        npix_c = frames[0].cb.size
+        for t in range(len(frames)):
+            nw = (int(bits[t]) + 31) // 32
+            payload = (
+                words_host[t, :nw].view(np.uint32).byteswap().tobytes()
+            )
+            ftype = 0 if t == 0 else 1
+            packets.append(
+                FramePacket(first_index + t, ftype, int(qps[t]), int(bits[t]), payload)
+            )
+            def _psnr(s, n):
+                return float(10 * np.log10(255.0**2 * n / s)) if s > 0 else float("inf")
+            stats.append(
+                FrameStats(
+                    index=first_index + t,
+                    frame_type=ftype,
+                    base_qp=int(qps[t]),
+                    bits=int(bits[t]),
+                    psnr_y=_psnr(sse[t, 0], npix_y),
+                    psnr_cb=_psnr(sse[t, 1], npix_c),
+                    psnr_cr=_psnr(sse[t, 2], npix_c),
+                    ms=ms_total / len(frames),
+                    n_intra_mb=n_mbs - int(n_inter[t]) if ftype else n_mbs,
+                    n_inter_mb=int(n_inter[t]) if ftype else 0,
+                )
+            )
+        return packets, stats
