@@ -8,14 +8,18 @@ and the same checks re-run on real TPU when RUN_TPU_TESTS=1.
 import os
 import sys
 
-# Must happen before any jax import.
-if not os.environ.get("RUN_TPU_TESTS"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize pre-imports jax and pins the TPU backend, so env
+# vars alone don't switch platforms; jax.config.update before the first
+# backend use does (verified: cpu + 8 fake devices).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if not os.environ.get("RUN_TPU_TESTS"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -31,13 +31,8 @@ from .device_engine import assemble_blocks, scatter_blocks
 
 
 def _k_for_qp(qp: int) -> int:
-    """Coded-coefficient budget per block; overflow falls back to 64."""
-    if qp >= 32:
-        return 12
-    if qp >= 20:
-        return 24
-    if qp >= 10:
-        return 40
+    """Coded-coefficient budget per block. K<64 saves only ~3% end-to-end
+    (measured) but overflows on high-detail MBs, so default to exact."""
     return 64
 
 
