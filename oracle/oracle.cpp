@@ -1,0 +1,581 @@
+// TVC1 scalar oracle encoder/decoder (SURVEY.md §2.2, §4.3).
+//
+// An independent, trivially auditable C++ implementation of /root/repo/SPEC.md
+// used as the bit-exactness referee for every JAX/Pallas path (the reference
+// binary the task metadata expects was never mounted — SURVEY.md §0), and as
+// the single-core CPU baseline for bench.py's vs_baseline ratio.
+//
+// Deliberately plain scalar code: every formula is written exactly as SPEC.md
+// states it, with none of the TPU-side vectorization tricks, so disagreement
+// between this and the device paths localizes bugs immediately.
+//
+//   oracle encode <in.yuv> <out.tvc> <W> <H> <gop> <qp> <full|diamond>
+//                 <none|adaptive|bitrate> <target_kbps> [max_frames]
+//   oracle decode <in.tvc> <out.yuv>
+//
+// Exit 0 on success; stats on stderr, one JSON line on stdout.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <chrono>
+#include <cmath>
+
+// ---------------------------------------------------------------- tables --
+static const int32_t B[8][8] = {
+    {362, 362, 362, 362, 362, 362, 362, 362},
+    {502, 426, 284, 100, -100, -284, -426, -502},
+    {473, 196, -196, -473, -473, -196, 196, 473},
+    {426, -100, -502, -284, 284, 502, 100, -426},
+    {362, -362, -362, 362, 362, -362, -362, 362},
+    {284, -502, 100, 426, -426, -100, 502, -284},
+    {196, -473, 473, -196, -196, 473, -473, 196},
+    {100, -284, 426, -502, 502, -426, 284, -100},
+};
+
+static const int ZIGZAG[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+};
+
+static int32_t QSTEP[64];
+static void init_qstep() {
+  for (int qp = 0; qp < 64; qp++) {
+    double v = std::pow(2.0, qp / 6.0);
+    int32_t s = (int32_t)std::floor(v + 0.5);
+    QSTEP[qp] = s < 1 ? 1 : s;
+  }
+}
+
+// ------------------------------------------------------------- primitives --
+static inline int64_t rshift_round(int64_t v, int s) {
+  int64_t mag = (std::llabs(v) + (1LL << (s - 1))) >> s;
+  return v < 0 ? -mag : mag;
+}
+
+// SPEC.md §3: C = rr(rr(B·X,10)·Bᵀ,10)
+static void fwd_tx(const int32_t x[64], int32_t c[64]) {
+  int64_t t1[64], t1r[64], t2;
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 8; j++) {
+      int64_t acc = 0;
+      for (int k = 0; k < 8; k++) acc += (int64_t)B[i][k] * x[k * 8 + j];
+      t1[i * 8 + j] = acc;
+    }
+  for (int i = 0; i < 64; i++) t1r[i] = rshift_round(t1[i], 10);
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 8; j++) {
+      t2 = 0;
+      for (int k = 0; k < 8; k++) t2 += t1r[i * 8 + k] * (int64_t)B[j][k];
+      c[i * 8 + j] = (int32_t)rshift_round(t2, 10);
+    }
+}
+
+// SPEC.md §3: R = rr(rr(Bᵀ·D,10)·B,10)
+static void inv_tx(const int32_t d[64], int32_t r[64]) {
+  int64_t u1[64], u1r[64], u2;
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 8; j++) {
+      int64_t acc = 0;
+      for (int k = 0; k < 8; k++) acc += (int64_t)B[k][i] * d[k * 8 + j];
+      u1[i * 8 + j] = acc;
+    }
+  for (int i = 0; i < 64; i++) u1r[i] = rshift_round(u1[i], 10);
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 8; j++) {
+      u2 = 0;
+      for (int k = 0; k < 8; k++) u2 += u1r[i * 8 + k] * (int64_t)B[k][j];
+      r[i * 8 + j] = (int32_t)rshift_round(u2, 10);
+    }
+}
+
+static inline int32_t quant1(int32_t c, int32_t q) {
+  int64_t mag = (2LL * std::llabs(c) + q) / (2LL * q);
+  return c < 0 ? (int32_t)-mag : (int32_t)mag;
+}
+
+static inline int bitlen_u(uint64_t x) {
+  int n = 0;
+  while (x) { n++; x >>= 1; }
+  return n;
+}
+
+// ---------------------------------------------------------------- bit I/O --
+struct BitWriter {
+  std::vector<uint32_t> words;  // big-endian bit order within each word
+  uint64_t nbits = 0;
+  void put(uint32_t value, int len) {
+    if (!len) return;
+    uint64_t pos = nbits;
+    size_t w = pos >> 5;
+    int s = pos & 31;
+    while (words.size() < w + 2) words.push_back(0);
+    int avail = 32 - s;
+    if (len <= avail) {
+      words[w] |= value << (avail - len);
+    } else {
+      int hi = len - avail;
+      words[w] |= value >> hi;
+      words[w + 1] |= (value & ((1u << hi) - 1)) << (32 - hi);
+    }
+    nbits += len;
+  }
+  void put_ue(uint32_t v) {
+    uint32_t code = v + 1;
+    int k = bitlen_u(code) - 1;
+    put(code, 2 * k + 1);
+  }
+  void put_se(int32_t v) { put_ue(v > 0 ? 2 * v - 1 : -2 * v); }
+};
+
+struct BitReader {
+  const uint8_t* data;
+  uint64_t nbits, pos = 0;
+  BitReader(const uint8_t* d, uint64_t n) : data(d), nbits(n) {}
+  uint32_t get(int len) {
+    uint32_t v = 0;
+    for (int i = 0; i < len; i++) {
+      uint64_t p = pos + i;
+      v = (v << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1);
+    }
+    pos += len;
+    return v;
+  }
+  uint32_t get_ue() {
+    int zeros = 0;
+    while (get(1) == 0) zeros++;
+    return ((1u << zeros) | get(zeros)) - 1;
+  }
+  int32_t get_se() {
+    uint32_t m = get_ue();
+    return (m & 1) ? (int32_t)((m + 1) >> 1) : -(int32_t)(m >> 1);
+  }
+};
+
+// --------------------------------------------------------------- planes ----
+struct Plane {
+  int w = 0, h = 0;
+  std::vector<int32_t> px;
+  int32_t at(int y, int x) const { return px[(size_t)y * w + x]; }
+  int32_t& at(int y, int x) { return px[(size_t)y * w + x]; }
+  // edge-clamped read (SPEC.md §2 padded reference semantics)
+  int32_t clamped(int y, int x) const {
+    if (y < 0) y = 0; if (y >= h) y = h - 1;
+    if (x < 0) x = 0; if (x >= w) x = w - 1;
+    return px[(size_t)y * w + x];
+  }
+};
+
+static Plane pad_to(const uint8_t* src, int w, int h, int mult) {
+  int wp = (w + mult - 1) / mult * mult, hp = (h + mult - 1) / mult * mult;
+  Plane p; p.w = wp; p.h = hp; p.px.resize((size_t)wp * hp);
+  for (int y = 0; y < hp; y++)
+    for (int x = 0; x < wp; x++) {
+      int sy = y < h ? y : h - 1, sx = x < w ? x : w - 1;
+      p.at(y, x) = src[(size_t)sy * w + sx];
+    }
+  return p;
+}
+
+// ------------------------------------------------------------- containers --
+static void put_le16(std::vector<uint8_t>& b, uint16_t v) { b.push_back(v & 255); b.push_back(v >> 8); }
+static void put_le32(std::vector<uint8_t>& b, uint32_t v) { for (int i = 0; i < 4; i++) b.push_back((v >> (8 * i)) & 255); }
+static uint16_t get_le16(const uint8_t* p) { return p[0] | (p[1] << 8); }
+static uint32_t get_le32(const uint8_t* p) { return p[0] | (p[1] << 8) | (p[2] << 16) | ((uint32_t)p[3] << 24); }
+
+// --------------------------------------------------------------- encoder ---
+struct Config {
+  int w, h, gop, qp;
+  bool diamond;
+  int rc;  // 0 none, 1 adaptive, 2 bitrate
+  int target_bits;
+};
+
+static int64_t sad16(const Plane& cur, const Plane& ref, int my, int mx, int dy, int dx) {
+  int64_t s = 0;
+  for (int i = 0; i < 16; i++)
+    for (int j = 0; j < 16; j++)
+      s += std::llabs(cur.at(my * 16 + i, mx * 16 + j) -
+                      ref.clamped(my * 16 + dy + i, mx * 16 + dx + j));
+  return s;
+}
+
+struct MB {
+  bool inter = false;
+  int dy = 0, dx = 0, qp = 0;
+  int32_t zz[6][64];
+};
+
+struct FrameOut {
+  std::vector<uint8_t> payload;  // big-endian serialized, word padded
+  uint64_t bits = 0;
+};
+
+static void encode_frame(const Config& cfg, bool is_p,
+                         const Plane& cy, const Plane& ccb, const Plane& ccr,
+                         Plane& ry, Plane& rcb, Plane& rcr,  // in: ref, out: recon
+                         int base_qp, FrameOut& out) {
+  int nby = cy.h / 16, nbx = cy.w / 16;
+  std::vector<MB> mbs((size_t)nby * nbx);
+  Plane ref_y = ry, ref_cb = rcb, ref_cr = rcr;
+
+  BitWriter bw;
+  for (int my = 0; my < nby; my++)
+    for (int mx = 0; mx < nbx; mx++) {
+      MB& mb = mbs[(size_t)my * nbx + mx];
+      // mode decision + ME (SPEC.md §9)
+      int64_t sum = 0;
+      for (int i = 0; i < 16; i++)
+        for (int j = 0; j < 16; j++) sum += cy.at(my * 16 + i, mx * 16 + j);
+      int64_t dc = (sum + 128) >> 8;
+      int64_t icost = 0;
+      for (int i = 0; i < 16; i++)
+        for (int j = 0; j < 16; j++)
+          icost += std::llabs(cy.at(my * 16 + i, mx * 16 + j) - dc);
+
+      if (is_p) {
+        int64_t best = INT64_MAX;
+        int bdy = 0, bdx = 0;
+        if (!cfg.diamond) {
+          for (int dy = -16; dy <= 16; dy++)
+            for (int dx = -16; dx <= 16; dx++) {
+              int64_t s = sad16(cy, ref_y, my, mx, dy, dx);
+              if (s < best) { best = s; bdy = dy; bdx = dx; }
+            }
+        } else {
+          // SPEC.md §9 diamond with early freeze; SDSP applied regardless
+          int dy = 0, dx = 0;
+          int64_t cost = sad16(cy, ref_y, my, mx, 0, 0);
+          bool frozen = cost < 512;
+          static const int LD[4][2] = {{-2, 0}, {0, -2}, {0, 2}, {2, 0}};
+          for (int step = 0; step < 16 && !frozen; step++) {
+            int wdy = dy, wdx = dx;
+            int64_t wc = cost;
+            int widx = 0, ci = 1;
+            for (auto& o : LD) {
+              int ny = dy + o[0], nx = dx + o[1];
+              int64_t c = (std::abs(ny) <= 16 && std::abs(nx) <= 16)
+                              ? sad16(cy, ref_y, my, mx, ny, nx)
+                              : (1LL << 60);
+              if (c < wc) { wc = c; wdy = ny; wdx = nx; widx = ci; }
+              ci++;
+            }
+            bool moved = widx != 0;
+            dy = wdy; dx = wdx; cost = wc;
+            frozen = !moved || cost < 512;
+          }
+          static const int SD[4][2] = {{-1, 0}, {0, -1}, {0, 1}, {1, 0}};
+          {
+            int wdy = dy, wdx = dx;
+            int64_t wc = cost;
+            for (auto& o : SD) {
+              int ny = dy + o[0], nx = dx + o[1];
+              int64_t c = (std::abs(ny) <= 16 && std::abs(nx) <= 16)
+                              ? sad16(cy, ref_y, my, mx, ny, nx)
+                              : (1LL << 60);
+              if (c < wc) { wc = c; wdy = ny; wdx = nx; }
+            }
+            dy = wdy; dx = wdx; cost = wc;
+          }
+          best = cost; bdy = dy; bdx = dx;
+        }
+        mb.inter = best <= icost;
+        mb.dy = bdy; mb.dx = bdx;
+      }
+
+      // rate control (SPEC.md §10)
+      if (cfg.rc == 1) {
+        int bl = icost > 0 ? bitlen_u((uint64_t)icost) : 0;
+        int q = base_qp + (bl - 10);
+        mb.qp = q < 1 ? 1 : (q > 63 ? 63 : q);
+      } else {
+        mb.qp = base_qp;
+      }
+      int32_t qs = QSTEP[mb.qp];
+
+      // 6 blocks: residual -> transform -> quant -> zigzag; recon in place
+      for (int b = 0; b < 6; b++) {
+        static const int OFF[4][2] = {{0, 0}, {0, 8}, {8, 0}, {8, 8}};
+        const Plane* cp; Plane* rp; const Plane* refp;
+        int oy, ox, cdy, cdx;
+        if (b < 4) {
+          cp = &cy; rp = &ry; refp = &ref_y;
+          oy = my * 16 + OFF[b][0]; ox = mx * 16 + OFF[b][1];
+          cdy = mb.dy; cdx = mb.dx;
+        } else {
+          cp = (b == 4) ? &ccb : &ccr;
+          rp = (b == 4) ? &rcb : &rcr;
+          refp = (b == 4) ? &ref_cb : &ref_cr;
+          oy = my * 8; ox = mx * 8;
+          cdy = mb.dy >> 1; cdx = mb.dx >> 1;
+        }
+        int32_t pred[64], resid[64], coef[64], deq[64], rec[64];
+        for (int i = 0; i < 8; i++)
+          for (int j = 0; j < 8; j++) {
+            int32_t p = mb.inter ? refp->clamped(oy + cdy + i, ox + cdx + j) : 128;
+            pred[i * 8 + j] = p;
+            resid[i * 8 + j] = cp->at(oy + i, ox + j) - p;
+          }
+        fwd_tx(resid, coef);
+        int32_t lv[64];
+        for (int i = 0; i < 64; i++) lv[i] = quant1(coef[i], qs);
+        for (int k = 0; k < 64; k++) mb.zz[b][k] = lv[ZIGZAG[k]];
+        for (int i = 0; i < 64; i++) deq[i] = lv[i] * qs;
+        inv_tx(deq, rec);
+        for (int i = 0; i < 8; i++)
+          for (int j = 0; j < 8; j++) {
+            int32_t v = pred[i * 8 + j] + rec[i * 8 + j];
+            rp->at(oy + i, ox + j) = v < 0 ? 0 : (v > 255 ? 255 : v);
+          }
+      }
+
+      // entropy (SPEC.md §7)
+      if (is_p) {
+        bw.put_ue(mb.inter ? 0 : 1);
+        if (mb.inter) { bw.put_se(mb.dx); bw.put_se(mb.dy); }
+      }
+      bw.put_se(mb.qp - base_qp);
+      for (int b = 0; b < 6; b++) {
+        int nnz = 0;
+        for (int k = 0; k < 64; k++) nnz += mb.zz[b][k] != 0;
+        if (!nnz) { bw.put(0, 1); continue; }
+        bw.put(1, 1);
+        bw.put_ue(nnz - 1);
+        int prev = -1;
+        for (int k = 0; k < 64; k++)
+          if (mb.zz[b][k]) {
+            bw.put_ue(k - prev - 1);
+            bw.put_se(mb.zz[b][k]);
+            prev = k;
+          }
+      }
+    }
+
+  out.bits = bw.nbits;
+  size_t nw = (bw.nbits + 31) / 32;
+  out.payload.resize(nw * 4);
+  for (size_t i = 0; i < nw; i++) {
+    uint32_t w = i < bw.words.size() ? bw.words[i] : 0;
+    out.payload[4 * i] = w >> 24;
+    out.payload[4 * i + 1] = (w >> 16) & 255;
+    out.payload[4 * i + 2] = (w >> 8) & 255;
+    out.payload[4 * i + 3] = w & 255;
+  }
+}
+
+// --------------------------------------------------------------- decoder ---
+static void decode_frame(int w, int h, bool is_p, int base_qp,
+                         const uint8_t* payload, uint64_t nbits,
+                         Plane& ry, Plane& rcb, Plane& rcr) {
+  int wp = (w + 15) / 16 * 16, hp = (h + 15) / 16 * 16;
+  int nby = hp / 16, nbx = wp / 16;
+  Plane ref_y = ry, ref_cb = rcb, ref_cr = rcr;
+  BitReader br(payload, nbits);
+  for (int my = 0; my < nby; my++)
+    for (int mx = 0; mx < nbx; mx++) {
+      bool inter = false;
+      int dy = 0, dx = 0;
+      if (is_p) {
+        uint32_t mode = br.get_ue();
+        if (mode == 0) { inter = true; dx = br.get_se(); dy = br.get_se(); }
+      }
+      int qp = base_qp + br.get_se();
+      int32_t qs = QSTEP[qp];
+      for (int b = 0; b < 6; b++) {
+        int32_t zz[64] = {0};
+        if (br.get(1)) {
+          int nnz = br.get_ue() + 1, pos = -1;
+          for (int t = 0; t < nnz; t++) {
+            pos += br.get_ue() + 1;
+            zz[pos] = br.get_se();
+          }
+        }
+        static const int OFF[4][2] = {{0, 0}, {0, 8}, {8, 0}, {8, 8}};
+        Plane* rp; const Plane* refp;
+        int oy, ox, cdy, cdx;
+        if (b < 4) {
+          rp = &ry; refp = &ref_y;
+          oy = my * 16 + OFF[b][0]; ox = mx * 16 + OFF[b][1];
+          cdy = dy; cdx = dx;
+        } else {
+          rp = (b == 4) ? &rcb : &rcr;
+          refp = (b == 4) ? &ref_cb : &ref_cr;
+          oy = my * 8; ox = mx * 8;
+          cdy = dy >> 1; cdx = dx >> 1;
+        }
+        int32_t lv[64], deq[64], rec[64];
+        for (int i = 0; i < 64; i++) lv[i] = 0;
+        for (int k = 0; k < 64; k++) lv[ZIGZAG[k]] = zz[k];
+        for (int i = 0; i < 64; i++) deq[i] = lv[i] * qs;
+        inv_tx(deq, rec);
+        for (int i = 0; i < 8; i++)
+          for (int j = 0; j < 8; j++) {
+            int32_t p = inter ? refp->clamped(oy + cdy + i, ox + cdx + j) : 128;
+            int32_t v = p + rec[i * 8 + j];
+            rp->at(oy + i, ox + j) = v < 0 ? 0 : (v > 255 ? 255 : v);
+          }
+      }
+    }
+}
+
+// ------------------------------------------------------------------ main ---
+static uint32_t crc32_simple(const std::string& s) {
+  // CRC-32 (zlib polynomial), bitwise — matches python zlib.crc32
+  uint32_t crc = 0xFFFFFFFFu;
+  for (unsigned char c : s) {
+    crc ^= c;
+    for (int i = 0; i < 8; i++)
+      crc = (crc >> 1) ^ (0xEDB88320u & (-(int32_t)(crc & 1)));
+  }
+  return ~crc;
+}
+
+int main(int argc, char** argv) {
+  init_qstep();
+  if (argc < 3) { fprintf(stderr, "usage: oracle encode|decode ...\n"); return 2; }
+  std::string mode = argv[1];
+
+  if (mode == "encode") {
+    if (argc < 10) { fprintf(stderr, "encode args\n"); return 2; }
+    Config cfg;
+    const char* in = argv[2];
+    const char* outp = argv[3];
+    cfg.w = atoi(argv[4]); cfg.h = atoi(argv[5]);
+    cfg.gop = atoi(argv[6]); cfg.qp = atoi(argv[7]);
+    cfg.diamond = std::string(argv[8]) == "diamond";
+    std::string rcs = argv[9];
+    cfg.rc = rcs == "adaptive" ? 1 : (rcs == "bitrate" ? 2 : 0);
+    int kbps = argc > 10 ? atoi(argv[10]) : 0;
+    cfg.target_bits = kbps > 0 ? kbps * 1000 / 30 : 0;
+    int max_frames = argc > 11 ? atoi(argv[11]) : INT32_MAX;
+
+    FILE* f = fopen(in, "rb");
+    if (!f) { perror("open"); return 1; }
+    size_t fsz = (size_t)cfg.w * cfg.h * 3 / 2;
+    std::vector<uint8_t> buf(fsz);
+    std::vector<FrameOut> outs;
+    std::vector<int> ftypes, fqps;
+    Plane ry, rcb, rcr;
+    int base_qp = cfg.qp;
+    int n = 0;
+    auto t0 = std::chrono::steady_clock::now();
+    while (n < max_frames && fread(buf.data(), 1, fsz, f) == fsz) {
+      int pos = n % cfg.gop;
+      bool is_p = pos != 0;
+      if (!is_p) base_qp = cfg.qp;  // RC state resets at GOP boundary
+      Plane cy = pad_to(buf.data(), cfg.w, cfg.h, 16);
+      Plane ccb = pad_to(buf.data() + (size_t)cfg.w * cfg.h, cfg.w / 2, cfg.h / 2, 8);
+      Plane ccr = pad_to(buf.data() + (size_t)cfg.w * cfg.h * 5 / 4, cfg.w / 2, cfg.h / 2, 8);
+      if (!is_p) { ry = cy; rcb = ccb; rcr = ccr; for (auto& v : ry.px) v = 0; for (auto& v : rcb.px) v = 0; for (auto& v : rcr.px) v = 0; }
+      FrameOut fo;
+      encode_frame(cfg, is_p, cy, ccb, ccr, ry, rcb, rcr, base_qp, fo);
+      ftypes.push_back(is_p ? 1 : 0);
+      fqps.push_back(base_qp);
+      if (cfg.rc == 2 && cfg.target_bits > 0) {
+        int64_t t = cfg.target_bits;
+        int64_t d = ((int64_t)fo.bits - t) * 4 / t;
+        if (d < -2) d = -2; if (d > 2) d = 2;
+        base_qp += (int)d;
+        if (base_qp < 1) base_qp = 1; if (base_qp > 63) base_qp = 63;
+      }
+      outs.push_back(std::move(fo));
+      n++;
+    }
+    fclose(f);
+    auto t1 = std::chrono::steady_clock::now();
+    double secs = std::chrono::duration<double>(t1 - t0).count();
+
+    // container (SPEC.md §8)
+    std::vector<uint8_t> hdr;
+    hdr.insert(hdr.end(), {'T', 'V', 'C', '1'});
+    put_le16(hdr, 1);
+    put_le16(hdr, cfg.gop == 1 ? 1 : 0);
+    put_le16(hdr, cfg.w); put_le16(hdr, cfg.h);
+    put_le16(hdr, cfg.gop);
+    hdr.push_back(cfg.qp);
+    hdr.push_back(cfg.diamond ? 1 : 0);
+    put_le32(hdr, n);
+    char canon[256];
+    snprintf(canon, sizeof canon,
+             "tvc1:w=%d:h=%d:gop=%d:qp=%d:search=%s:rc=%s:kbps=%d:fps=30/1",
+             cfg.w, cfg.h, cfg.gop, cfg.qp, cfg.diamond ? "diamond" : "full",
+             cfg.rc == 1 ? "adaptive" : (cfg.rc == 2 ? "bitrate" : "none"), kbps);
+    put_le32(hdr, crc32_simple(canon));
+
+    FILE* o = fopen(outp, "wb");
+    fwrite(hdr.data(), 1, hdr.size(), o);
+    uint64_t total_bits = 0;
+    for (int i = 0; i < n; i++) {
+      uint8_t fh[8] = {0};
+      fh[0] = ftypes[i];
+      fh[1] = (uint8_t)fqps[i];
+      uint32_t pb = (uint32_t)outs[i].bits;
+      memcpy(fh + 4, &pb, 4);  // little-endian on all targets we build for
+      fwrite(fh, 1, 8, o);
+      fwrite(outs[i].payload.data(), 1, outs[i].payload.size(), o);
+      total_bits += outs[i].bits;
+    }
+    fclose(o);
+    fprintf(stderr, "encoded %d frames in %.3fs (%.2f fps), %.1f kbit/frame\n",
+            n, secs, n / secs, total_bits / 1000.0 / n);
+    printf("{\"frames\": %d, \"fps\": %.2f, \"kbit_per_frame\": %.1f}\n",
+           n, n / secs, total_bits / 1000.0 / n);
+    return 0;
+  }
+
+  if (mode == "decode") {
+    if (argc < 4) { fprintf(stderr, "decode args\n"); return 2; }
+    FILE* f = fopen(argv[2], "rb");
+    if (!f) { perror("open"); return 1; }
+    fseek(f, 0, SEEK_END); long sz = ftell(f); fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> data(sz);
+    if (fread(data.data(), 1, sz, f) != (size_t)sz) { return 1; }
+    fclose(f);
+    if (sz < 24 || memcmp(data.data(), "TVC1", 4)) { fprintf(stderr, "bad magic\n"); return 1; }
+    int w = get_le16(&data[8]), h = get_le16(&data[10]);
+    uint32_t nframes = get_le32(&data[16]);
+    FILE* o = fopen(argv[3], "wb");
+    size_t off = 24;
+    Plane ry, rcb, rcr;
+    int wp = (w + 15) / 16 * 16, hp = (h + 15) / 16 * 16;
+    ry.w = wp; ry.h = hp; ry.px.assign((size_t)wp * hp, 0);
+    rcb.w = wp / 2; rcb.h = hp / 2; rcb.px.assign((size_t)wp * hp / 4, 0);
+    rcr = rcb;
+    auto t0 = std::chrono::steady_clock::now();
+    for (uint32_t i = 0; i < nframes; i++) {
+      int ftype = data[off];
+      int base_qp = data[off + 1];
+      uint32_t pbits = get_le32(&data[off + 4]);
+      off += 8;
+      size_t nbytes = ((pbits + 31) / 32) * 4;
+      decode_frame(w, h, ftype == 1, base_qp, &data[off], pbits, ry, rcb, rcr);
+      off += nbytes;
+      // crop + write
+      std::vector<uint8_t> yout((size_t)w * h), cbout((size_t)w * h / 4), crout((size_t)w * h / 4);
+      for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++) yout[(size_t)y * w + x] = (uint8_t)ry.at(y, x);
+      for (int y = 0; y < h / 2; y++)
+        for (int x = 0; x < w / 2; x++) {
+          cbout[(size_t)y * (w / 2) + x] = (uint8_t)rcb.at(y, x);
+          crout[(size_t)y * (w / 2) + x] = (uint8_t)rcr.at(y, x);
+        }
+      fwrite(yout.data(), 1, yout.size(), o);
+      fwrite(cbout.data(), 1, cbout.size(), o);
+      fwrite(crout.data(), 1, crout.size(), o);
+    }
+    fclose(o);
+    auto t1 = std::chrono::steady_clock::now();
+    double secs = std::chrono::duration<double>(t1 - t0).count();
+    fprintf(stderr, "decoded %u frames in %.3fs (%.2f fps)\n", nframes, secs, nframes / secs);
+    printf("{\"frames\": %u, \"fps\": %.2f}\n", nframes, nframes / secs);
+    return 0;
+  }
+
+  fprintf(stderr, "unknown mode %s\n", mode.c_str());
+  return 2;
+}
