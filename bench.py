@@ -80,7 +80,7 @@ def main():
     import jax.numpy as jnp
 
     from video_encoder_tpu.codec import entropy, spec
-    from video_encoder_tpu.pipeline.gop_engine import _k_for_qp, encode_gop_jit
+    from video_encoder_tpu.pipeline.gop_engine import _block_words_for_qp, encode_gop_jit
 
     T, H, W = 8, 1080, 1920
     hp = spec.ceil_to(H, 16)
@@ -91,7 +91,7 @@ def main():
 
     n_mbs = (hp // 16) * (W // 16)
     kw = dict(
-        search="full", rc="none", k_coeffs=_k_for_qp(30), mb_words=64,
+        search="full", rc="none", block_words=_block_words_for_qp(30),
         cap_words=entropy.capacity_words(n_mbs, 1024), target_bits=0,
     )
     outs = encode_gop_jit(yd, cbd, crd, 30, **kw)

@@ -69,8 +69,8 @@ def test_tile_sharded_equals_single(rng, ref_mode):
     cr = jnp.asarray(np.stack([f.cr for f in frames]).astype(np.uint8))
     n_mbs_shard = (h // ntile // 16) * (w // 16)
     outs = tiles.encode_gop_tiled(
-        y, cb, cr, 30, mesh=mesh, rc="none", k_coeffs=64,
-        mb_words=(entropy.MAX_MB_BITS + 31) // 32 + 1,
+        y, cb, cr, 30, mesh=mesh, rc="none",
+        block_words=entropy.BLOCK_WORDS_MAX,
         cap_words=entropy.max_words(n_mbs_shard),
         target_bits=0, ref_mode=ref_mode,
     )

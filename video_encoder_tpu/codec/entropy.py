@@ -389,6 +389,224 @@ def pack_frame(
     return words, total_bits, mb_bits.reshape(nby, nbx), ovf_a | ovf_b
 
 
+# ---------------------------------------------------------------------------
+# Blocked pack v3 — the production path.
+#
+# Ablation on the real GOP program showed the MB-granularity dense pack was
+# ~25 ms/frame at 1080p (the rest of the encoder: ~1.4 ms). The cost is the
+# S×W compare-reduce; packing per 8×8 *block* (S=130 symbols, W≈16 words)
+# instead of per MB (S=784, W=64) cuts it ~4×, and the per-MB tier is
+# dropped entirely: the frame stream is assembled in ONE shift-scatter pass
+# over 7 pieces per MB (header + 6 block strings) — the same word-shift
+# trick the tile-parallel mux uses.
+# ---------------------------------------------------------------------------
+
+HEADER_SLOTS = 4
+HEADER_WORDS = 2  # header ≤ 3+11+11+13 = 38 bits
+
+
+def block_symbols(levels_zz: jnp.ndarray):
+    """Per-block symbol arrays [..., 6, 130]: cbf, ue(nnz-1), (run, level)×64
+    at their zigzag positions (length 0 where the coefficient is zero)."""
+    nz = levels_zz != 0
+    nnz = nz.sum(axis=-1).astype(jnp.int32)
+    cbf = nnz > 0
+
+    idx = jnp.arange(64, dtype=jnp.int32)
+    masked_idx = jnp.where(nz, idx, -1)
+    cm = jax.lax.cummax(masked_idx, axis=masked_idx.ndim - 1)
+    prev_nz = jnp.concatenate(
+        [jnp.full((*cm.shape[:-1], 1), -1, jnp.int32), cm[..., :-1]], axis=-1
+    )
+    run = idx - prev_nz - 1
+
+    run_val, run_len = ue_code(jnp.where(nz, run, 0))
+    lev_val, lev_len = se_code(levels_zz)
+    run_len = jnp.where(nz, run_len, 0)
+    lev_len = jnp.where(nz, lev_len, 0)
+
+    cbf_val = cbf.astype(jnp.uint32)
+    cbf_len = jnp.ones_like(nnz)
+    nnz_val, nnz_len = ue_code(jnp.maximum(nnz - 1, 0))
+    nnz_len = jnp.where(cbf, nnz_len, 0)
+
+    pair_val = jnp.stack([run_val, lev_val], axis=-1).reshape(*nnz.shape, 128)
+    pair_len = jnp.stack([run_len, lev_len], axis=-1).reshape(*nnz.shape, 128)
+    values = jnp.concatenate([cbf_val[..., None], nnz_val[..., None], pair_val], -1)
+    lengths = jnp.concatenate([cbf_len[..., None], nnz_len[..., None], pair_len], -1)
+    values = jnp.where(lengths > 0, values.astype(jnp.uint32), 0)
+    return values, lengths.astype(jnp.int32)
+
+
+def header_symbols(qp_delta, is_p_frame, is_inter, dy, dx):
+    """Per-MB header symbols [nby, nbx, 4]: mode, se(dx), se(dy), se(qpd)."""
+    p = jnp.asarray(is_p_frame, jnp.bool_)
+    mode_val, mode_len = ue_code(jnp.where(is_inter, 0, 1))
+    mode_len = jnp.where(p, mode_len, 0)
+    inter_p = is_inter & p
+    dx_val, dx_len = se_code(dx)
+    dy_val, dy_len = se_code(dy)
+    dx_len = jnp.where(inter_p, dx_len, 0)
+    dy_len = jnp.where(inter_p, dy_len, 0)
+    qpd_val, qpd_len = se_code(qp_delta)
+    values = jnp.stack([mode_val, dx_val, dy_val, qpd_val], axis=-1)
+    lengths = jnp.stack([mode_len, dx_len, dy_len, qpd_len], axis=-1)
+    return jnp.where(lengths > 0, values.astype(jnp.uint32), 0), lengths
+
+
+def pack_dense(values: jnp.ndarray, lengths: jnp.ndarray, n_words: int):
+    """Dense compare-select pack of [..., S] symbol strings into [..., W]
+    word buffers. Pure VPU broadcast-compare-reduce: no gather, no scatter.
+
+    Returns (words [..., W] uint32, bits [...], overflow flag)."""
+    off = jnp.cumsum(lengths, axis=-1) - lengths
+    bits = off[..., -1] + lengths[..., -1]
+    overflow = (bits > 32 * n_words).any()
+
+    sh = (off & 31).astype(jnp.int32)
+    fits = (sh + lengths) <= 32
+    sh1 = jnp.clip(jnp.where(fits, 32 - sh - lengths, lengths - (32 - sh)), 0, 31)
+    c1 = jnp.where(fits, values << sh1.astype(jnp.uint32), values >> sh1.astype(jnp.uint32))
+    sh2 = jnp.clip(64 - sh - lengths, 0, 31)
+    c2 = jnp.where(fits, jnp.uint32(0), values << sh2.astype(jnp.uint32))
+    live = lengths > 0
+    c1 = jnp.where(live, c1, 0)
+    c2 = jnp.where(live & ~fits, c2, 0)
+
+    w1 = (off >> 5).astype(jnp.int32)
+    wgrid = jnp.arange(n_words, dtype=jnp.int32)
+    eq1 = w1[..., :, None] == wgrid
+    eq2 = (w1 + 1)[..., :, None] == wgrid
+    words = (
+        jnp.where(eq1, c1[..., :, None], 0).sum(axis=-2, dtype=jnp.uint32)
+        + jnp.where(eq2, c2[..., :, None], 0).sum(axis=-2, dtype=jnp.uint32)
+    )
+    return words, bits.astype(jnp.int32), overflow
+
+
+def pack_frame_blocked(
+    levels_zz: jnp.ndarray,  # [nby, nbx, 6, 64]
+    qp_delta: jnp.ndarray,
+    is_p_frame,
+    is_inter: jnp.ndarray,
+    dy: jnp.ndarray,
+    dx: jnp.ndarray,
+    block_words: int,
+    n_words: int,
+):
+    """Production pack: per-block dense pack + one-pass frame assembly.
+
+    Returns (words [n_words] uint32, total_bits, mb_bits [nby, nbx], ovf).
+    Bit-exact with mb_symbols + pack_bits (tests/test_entropy.py).
+    """
+    nby, nbx = qp_delta.shape
+    n_mbs = nby * nbx
+
+    hv, hl = header_symbols(qp_delta, is_p_frame, is_inter, dy, dx)
+    hwords, hbits, ovf_h = pack_dense(
+        hv.reshape(n_mbs, HEADER_SLOTS), hl.reshape(n_mbs, HEADER_SLOTS), HEADER_WORDS
+    )
+    bv, bl = block_symbols(levels_zz)
+    bwords, bbits, ovf_b = pack_dense(
+        bv.reshape(n_mbs, 6, 130), bl.reshape(n_mbs, 6, 130), block_words
+    )
+
+    # pieces per MB: header, block 0..5, one empty (pads to 8 = 2^3 so the
+    # reduction tree's first three levels stay inside the MB)
+    hpad = jnp.pad(hwords, ((0, 0), (0, block_words - HEADER_WORDS)))
+    piece_words = jnp.concatenate(
+        [hpad[:, None], bwords, jnp.zeros((n_mbs, 1, block_words), jnp.uint32)],
+        axis=1,
+    )  # [n_mbs, 8, W]
+    piece_bits = jnp.concatenate(
+        [hbits[:, None], bbits, jnp.zeros((n_mbs, 1), jnp.int32)], axis=1
+    )
+    mb_bits = piece_bits[:, :7].sum(axis=1)
+
+    words, total_bits = tree_concat(
+        piece_words.reshape(n_mbs * 8, block_words),
+        piece_bits.reshape(n_mbs * 8),
+        n_words,
+    )
+    ovf_f = total_bits > 32 * n_words
+    return words, total_bits, mb_bits.reshape(nby, nbx), ovf_h | ovf_b | ovf_f
+
+
+def _shift_words_right(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Static word shift along the last axis: out[..., i] = x[..., i-k]."""
+    if k == 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(k, 0)])[..., : x.shape[-1]]
+
+
+def _carry_shift(x: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Bit-shift each row's MSB-first word string right by s ∈ [0,32) bits
+    (one spill word appended): out[k] = (x[k] >> s) | (x[k-1] << (32-s))."""
+    n, w = x.shape
+    s = s.astype(jnp.uint32)[:, None]
+    ext = jnp.concatenate([x, jnp.zeros((n, 1), jnp.uint32)], axis=1)
+    prev = jnp.concatenate([jnp.zeros((n, 1), jnp.uint32), x], axis=1)
+    return jnp.where(s > 0, (ext >> s) | (prev << (32 - s)), ext)
+
+
+def tree_concat(buffers: jnp.ndarray, bits: jnp.ndarray, n_words: int):
+    """Concatenate n MSB-first bit strings into one, as a binary reduction.
+
+    buffers [n, W] uint32 word strings, bits [n] their lengths. At each
+    level, pairs (A, B) merge: B is bit-shifted by len(A) % 32 (vector
+    carry op) and word-placed at len(A) // 32 via *binary-decomposed static
+    shifts* (log(W) select passes) — no scatter, no gather anywhere, so it
+    runs at VPU speed instead of TPU scatter speed (~75M updates/s).
+    Widths double per level until capped at n_words; no intermediate
+    capacity parameter exists, so only the final cap can overflow.
+
+    Returns (words [n_words], total_bits).
+    """
+    n, w = buffers.shape
+    # pad the string count to a power of two with empty strings
+    n2 = 1 << max(1, (n - 1).bit_length())
+    if n2 != n:
+        buffers = jnp.pad(buffers, ((0, n2 - n), (0, 0)))
+        bits = jnp.pad(bits, (0, n2 - n))
+    n = n2
+
+    while n > 1:
+        a = buffers[0::2]
+        b = buffers[1::2]
+        bits_a = bits[0::2]
+        bits_b = bits[1::2]
+        w_out = min(2 * w + 1, n_words)
+
+        bs = _carry_shift(b, bits_a & 31)          # [n/2, w+1]
+        if bs.shape[1] < w_out:
+            bs = jnp.pad(bs, ((0, 0), (0, w_out - bs.shape[1])))
+        else:
+            bs = bs[:, :w_out]
+        base = (bits_a >> 5).astype(jnp.int32)
+        kbit = 0
+        while (1 << kbit) < w_out:
+            hit = (base & (1 << kbit)) != 0
+            bs = jnp.where(hit[:, None], _shift_words_right(bs, 1 << kbit), bs)
+            kbit += 1
+
+        a_pad = jnp.pad(a, ((0, 0), (0, w_out - w))) if w < w_out else a[:, :w_out]
+        buffers = a_pad | bs
+        bits = bits_a + bits_b
+        w = w_out
+        n //= 2
+
+    out = buffers[0]
+    if out.shape[0] < n_words:
+        out = jnp.pad(out, (0, n_words - out.shape[0]))
+    return out[:n_words], bits[0]
+
+
+BLOCK_WORDS_DEFAULT = 24  # 768 bits per 8x8 block budget
+BLOCK_WORDS_MAX = (1 + 13 + 64 * (13 + 25) + 31) // 32 + 1  # exact worst case
+MB_WORDS_DEFAULT = 32          # 1024 bits/MB budget for the MB assembly tier
+MB_WORDS_MAX = (MAX_MB_BITS + 31) // 32 + 1
+
+
 def capacity_words(n_mbs: int, bits_per_mb: int = 1024) -> int:
     """Default payload capacity: generous vs typical (~100-400 bits/MB) but
     ~14× smaller than the worst case; overflow triggers the exact fallback."""

@@ -72,12 +72,12 @@ def mc_fetch_chroma_plane(ref_c, cdy, cdx):
 
 
 def diamond_search(cur_y, ref_y):
-    """Diamond search; the jnp version is the reference. On TPU the step
-    primitive uses the pallas sad_at_mv kernel (same masked-loop control)."""
+    """Diamond search: fused single-kernel version on TPU (per-MB while-loop
+    early exit), jnp masked-loop reference elsewhere — bit-exact pair."""
+    if use_pallas():
+        from .pallas import diamond as pdia
+
+        return pdia.diamond_search(cur_y, ref_y)
     from . import motion
 
-    if not use_pallas():
-        return motion.diamond_search(cur_y, ref_y)
-    return motion.diamond_search_with(
-        cur_y, ref_y, lambda dy, dx: sad_at_mv(cur_y, ref_y, dy, dx)
-    )
+    return motion.diamond_search(cur_y, ref_y)

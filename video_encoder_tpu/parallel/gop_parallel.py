@@ -23,18 +23,18 @@ from ..codec.bitstream import FramePacket
 from ..codec.config import EncoderConfig
 from ..codec.golden import Frame
 from .mesh import make_codec_mesh
-from ..pipeline.gop_engine import encode_gop_jit, _bucket, _k_for_qp
+from ..pipeline.gop_engine import encode_gop_jit, _bucket, _block_words_for_qp
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "search", "rc", "k_coeffs", "mb_words", "cap_words", "target_bits",
+        "mesh", "search", "rc", "block_words", "cap_words", "target_bits",
     ),
 )
 def encode_gop_batch_sharded(
     y_u8, cb_u8, cr_u8, base_qp,
-    *, mesh, search, rc, k_coeffs, mb_words, cap_words, target_bits,
+    *, mesh, search, rc, block_words, cap_words, target_bits,
 ):
     """Encode [G, T, ...] uint8 GOP batch, G sharded over the 'gop' axis.
 
@@ -43,7 +43,7 @@ def encode_gop_batch_sharded(
     the global RC/stats aggregate.
     """
     kw = dict(
-        search=search, rc=rc, k_coeffs=k_coeffs, mb_words=mb_words,
+        search=search, rc=rc, block_words=block_words,
         cap_words=cap_words, target_bits=target_bits,
     )
 
@@ -95,14 +95,15 @@ class ShardedGopEncoder:
 
         def run(xl: bool):
             if xl:
-                k, mbw = 64, (entropy.MAX_MB_BITS + 31) // 32 + 1
+                bw = entropy.BLOCK_WORDS_MAX
                 cap = entropy.max_words(n_mbs)
             else:
-                k, mbw, cap = _k_for_qp(base_qp), 64, entropy.capacity_words(n_mbs, 1024)
+                bw = _block_words_for_qp(base_qp)
+                cap = entropy.capacity_words(n_mbs, 1024)
             return encode_gop_batch_sharded(
                 y, cb, cr, base_qp,
-                mesh=self.mesh, search=cfg.search, rc=cfg.rc, k_coeffs=k,
-                mb_words=mbw, cap_words=cap,
+                mesh=self.mesh, search=cfg.search, rc=cfg.rc, block_words=bw,
+                cap_words=cap,
                 target_bits=cfg.target_bits_per_frame(),
             )
 

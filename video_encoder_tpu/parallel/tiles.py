@@ -100,7 +100,7 @@ def _mc_haloed(ref_ext, dy, dx, bs, r):
 
 def encode_frame_tile_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
-    *, is_p: bool, rc: str, k_coeffs: int, mb_words: int, cap_words: int,
+    *, is_p: bool, rc: str, block_words: int, cap_words: int,
     axis_name: str = "tile", ref_mode: str = "halo",
 ):
     """Per-shard frame encode; cur_/ref_ planes are local row shards.
@@ -140,15 +140,13 @@ def encode_frame_tile_traced(
     levels_zz, rec_y, rec_cb, rec_cr = _code_frame(
         cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb
     )
-    values, lengths, ovf_k = entropy.mb_symbols_compact(
-        levels_zz, qp_mb - base_qp, jnp.asarray(is_p), is_inter, dy, dx, k_coeffs
-    )
-    words, bits, mb_bits, ovf_p = entropy.pack_frame(
-        values, lengths, mb_words, cap_words
+    words, bits, mb_bits, ovf_p = entropy.pack_frame_blocked(
+        levels_zz, qp_mb - base_qp, jnp.asarray(is_p), is_inter, dy, dx,
+        block_words, cap_words,
     )
     frame_bits = jax.lax.psum(bits, axis_name)  # RC/stats aggregate over tiles
     return dict(
-        words=words, bits=bits, frame_bits=frame_bits, ovf=ovf_k | ovf_p,
+        words=words, bits=bits, frame_bits=frame_bits, ovf=ovf_p,
         n_inter=is_inter.sum().astype(jnp.int32),
         rec_y=rec_y, rec_cb=rec_cb, rec_cr=rec_cr,
     )
@@ -156,12 +154,12 @@ def encode_frame_tile_traced(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "rc", "k_coeffs", "mb_words", "cap_words",
+    static_argnames=("mesh", "rc", "block_words", "cap_words",
                      "target_bits", "ref_mode"),
 )
 def encode_gop_tiled(
     y_u8, cb_u8, cr_u8, base_qp,
-    *, mesh, rc, k_coeffs, mb_words, cap_words, target_bits, ref_mode="halo",
+    *, mesh, rc, block_words, cap_words, target_bits, ref_mode="halo",
 ):
     """GOP encode with frames row-sharded over the 'tile' mesh axis.
 
@@ -175,8 +173,7 @@ def encode_gop_tiled(
             cur_y = xs["y"].astype(jnp.int32)
             cur_cb = xs["cb"].astype(jnp.int32)
             cur_cr = xs["cr"].astype(jnp.int32)
-            kw = dict(rc=rc, k_coeffs=k_coeffs, mb_words=mb_words,
-                      cap_words=cap_words)
+            kw = dict(rc=rc, block_words=block_words, cap_words=cap_words)
             out = jax.lax.cond(
                 xs["i"] > 0,
                 lambda: encode_frame_tile_traced(

@@ -30,10 +30,9 @@ from ..utils.metrics import FrameStats
 from .device_engine import assemble_blocks, scatter_blocks
 
 
-def _k_for_qp(qp: int) -> int:
-    """Coded-coefficient budget per block. K<64 saves only ~3% end-to-end
-    (measured) but overflows on high-detail MBs, so default to exact."""
-    return 64
+def _block_words_for_qp(qp: int) -> int:
+    """Per-8x8-block word budget for the blocked pack (overflow -> exact)."""
+    return entropy.BLOCK_WORDS_DEFAULT
 
 
 def _code_frame(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb):
@@ -69,7 +68,7 @@ def _sse(a, b):
 
 def encode_frame_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
-    *, is_p: bool, search: str, rc: str, k_coeffs: int, mb_words: int, cap_words: int,
+    *, is_p: bool, search: str, rc: str, block_words: int, cap_words: int,
 ):
     """One frame, traceable; is_p/search/rc are static (two cond branches)."""
     dc, icost = motion.intra_cost_and_dc(cur_y)
@@ -104,17 +103,15 @@ def encode_frame_traced(
         cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb
     )
 
-    values, lengths, ovf_k = entropy.mb_symbols_compact(
-        levels_zz, qp_mb - base_qp, jnp.asarray(is_p), is_inter, dy, dx, k_coeffs
-    )
-    words, total_bits, mb_bits, ovf_p = entropy.pack_frame(
-        values, lengths, mb_words, cap_words
+    words, total_bits, mb_bits, ovf_p = entropy.pack_frame_blocked(
+        levels_zz, qp_mb - base_qp, jnp.asarray(is_p), is_inter, dy, dx,
+        block_words, cap_words,
     )
     sse = jnp.stack([_sse(cur_y, rec_y), _sse(cur_cb, rec_cb), _sse(cur_cr, rec_cr)])
     return dict(
         words=words,
         bits=total_bits,
-        ovf=ovf_k | ovf_p,
+        ovf=ovf_p,
         n_inter=is_inter.sum().astype(jnp.int32),
         rec_y=rec_y,
         rec_cb=rec_cb,
@@ -125,11 +122,11 @@ def encode_frame_traced(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("search", "rc", "k_coeffs", "mb_words", "cap_words", "target_bits"),
+    static_argnames=("search", "rc", "block_words", "cap_words", "target_bits"),
 )
 def encode_gop_jit(
     y_u8, cb_u8, cr_u8, base_qp,
-    *, search: str, rc: str, k_coeffs: int, mb_words: int, cap_words: int,
+    *, search: str, rc: str, block_words: int, cap_words: int,
     target_bits: int,
 ):
     """Encode a [T, ...] uint8 GOP on device. Returns stacked per-frame
@@ -143,8 +140,8 @@ def encode_gop_jit(
         cur_cr = xs["cr"].astype(jnp.int32)
         idx = xs["i"]
 
-        kw = dict(search=search, rc=rc, k_coeffs=k_coeffs,
-                  mb_words=mb_words, cap_words=cap_words)
+        kw = dict(search=search, rc=rc, block_words=block_words,
+                  cap_words=cap_words)
         out = jax.lax.cond(
             idx > 0,
             lambda: encode_frame_traced(
@@ -202,15 +199,14 @@ class GopEngine:
         cfg = self.cfg
         n_mbs = (y.shape[1] // spec.MB) * (y.shape[2] // spec.MB)
         if xl:
-            k, mbw = 64, (entropy.MAX_MB_BITS + 31) // 32 + 1
+            bw = entropy.BLOCK_WORDS_MAX
             cap = entropy.max_words(n_mbs)
         else:
-            k = _k_for_qp(base_qp)
-            mbw = 64
+            bw = _block_words_for_qp(base_qp)
             cap = entropy.capacity_words(n_mbs, 1024)
         return encode_gop_jit(
             y, cb, cr, base_qp,
-            search=cfg.search, rc=cfg.rc, k_coeffs=k, mb_words=mbw,
+            search=cfg.search, rc=cfg.rc, block_words=bw,
             cap_words=cap, target_bits=cfg.target_bits_per_frame(),
         )
 
