@@ -423,6 +423,87 @@ static void decode_frame(int w, int h, bool is_p, int base_qp,
     }
 }
 
+// ----------------------------------------------------------- C library API --
+// Used by video_encoder_tpu/codec/native.py (ctypes) as the fast host
+// entropy decoder: the serial bit-parsing stage of decode is byte-stream
+// bound and lives on the host (SURVEY.md §7.0 "Host does bytes, device does
+// math"); reconstruction can then run on-device from the parsed arrays.
+
+extern "C" {
+
+// Parse one frame's payload into per-MB arrays. levels_zz: [nby*nbx*6*64],
+// mvs: [nby*nbx*2] (dy, dx), inter: [nby*nbx], qps: [nby*nbx].
+// Returns 0 on success.
+int tvc_parse_frame(const uint8_t* payload, uint64_t nbits, int is_p,
+                    int base_qp, int nby, int nbx, int32_t* levels_zz,
+                    int32_t* mvs, uint8_t* inter, int32_t* qps) {
+  init_qstep();
+  BitReader br(payload, nbits);
+  for (int m = 0; m < nby * nbx; m++) {
+    bool mb_inter = false;
+    int dy = 0, dx = 0;
+    if (is_p) {
+      if (br.get_ue() == 0) { mb_inter = true; dx = br.get_se(); dy = br.get_se(); }
+    }
+    qps[m] = base_qp + br.get_se();
+    inter[m] = mb_inter;
+    mvs[2 * m] = dy;
+    mvs[2 * m + 1] = dx;
+    int32_t* zz = levels_zz + (size_t)m * 6 * 64;
+    memset(zz, 0, 6 * 64 * sizeof(int32_t));
+    for (int b = 0; b < 6; b++) {
+      if (!br.get(1)) continue;
+      int nnz = br.get_ue() + 1, pos = -1;
+      for (int t = 0; t < nnz; t++) {
+        pos += br.get_ue() + 1;
+        if (pos >= 64) return 1;  // corrupt stream
+        zz[b * 64 + pos] = br.get_se();
+      }
+    }
+    if (br.pos > nbits) return 2;
+  }
+  return 0;
+}
+
+// Full single-threaded decode of a TVC1 stream to planar I420 frames.
+// out must hold nframes * w*h*3/2 bytes; returns frame count or -errno.
+int tvc_decode_stream(const uint8_t* data, int64_t size, uint8_t* out,
+                      int64_t out_cap) {
+  init_qstep();
+  if (size < 24 || memcmp(data, "TVC1", 4)) return -1;
+  int w = get_le16(&data[8]), h = get_le16(&data[10]);
+  uint32_t nframes = get_le32(&data[16]);
+  int64_t fsz = (int64_t)w * h * 3 / 2;
+  if (out_cap < fsz * nframes) return -2;
+  size_t off = 24;
+  int wp = (w + 15) / 16 * 16, hp = (h + 15) / 16 * 16;
+  Plane ry, rcb, rcr;
+  ry.w = wp; ry.h = hp; ry.px.assign((size_t)wp * hp, 0);
+  rcb.w = wp / 2; rcb.h = hp / 2; rcb.px.assign((size_t)wp * hp / 4, 0);
+  rcr = rcb;
+  for (uint32_t i = 0; i < nframes; i++) {
+    if (off + 8 > (size_t)size) return -3;
+    int ftype = data[off];
+    int base_qp = data[off + 1];
+    uint32_t pbits = get_le32(&data[off + 4]);
+    off += 8;
+    size_t nbytes = ((pbits + 31) / 32) * 4;
+    if (off + nbytes > (size_t)size) return -3;
+    decode_frame(w, h, ftype == 1, base_qp, &data[off], pbits, ry, rcb, rcr);
+    off += nbytes;
+    uint8_t* o = out + fsz * i;
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) *o++ = (uint8_t)ry.at(y, x);
+    for (int y = 0; y < h / 2; y++)
+      for (int x = 0; x < w / 2; x++) *o++ = (uint8_t)rcb.at(y, x);
+    for (int y = 0; y < h / 2; y++)
+      for (int x = 0; x < w / 2; x++) *o++ = (uint8_t)rcr.at(y, x);
+  }
+  return (int)nframes;
+}
+
+}  // extern "C"
+
 // ------------------------------------------------------------------ main ---
 static uint32_t crc32_simple(const std::string& s) {
   // CRC-32 (zlib polynomial), bitwise — matches python zlib.crc32

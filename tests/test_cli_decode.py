@@ -1,0 +1,96 @@
+"""CLI (C1) and decoder-engine (C16) tests: all decode engines byte-equal."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture
+def clip(tmp_path, rng):
+    w, h, n = 64, 48, 5
+    base = rng.integers(0, 256, (h + 64, w + 64)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    path = tmp_path / "in.yuv"
+    with open(path, "wb") as f:
+        for t in range(n):
+            y = base[2 * t : 2 * t + h, 3 * t : 3 * t + w].astype(np.uint8)
+            f.write(y.tobytes())
+            f.write(np.full((h // 2, w // 2), 100 + t, np.uint8).tobytes())
+            f.write(np.full((h // 2, w // 2), 140, np.uint8).tobytes())
+    return path, w, h, n
+
+
+def run_cli(args, timeout=400):
+    env = dict(os.environ, PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+               TVC_PLATFORM="" if os.environ.get("RUN_TPU_TESTS") else "cpu")
+    return subprocess.run(
+        [sys.executable, "-m", "video_encoder_tpu.cli"] + [str(a) for a in args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO,
+    )
+
+
+def test_cli_encode_decode_roundtrip(clip, tmp_path):
+    path, w, h, n = clip
+    tvc = tmp_path / "o.tvc"
+    r = run_cli(["encode", "-i", path, "-W", w, "-H", h, "-o", tvc,
+                 "--gop", 3, "--qp", 26, "--engine", "golden"])
+    assert r.returncode == 0, r.stderr[-500:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["frames"] == n
+
+    r = run_cli(["info", "-i", tvc])
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert (info["width"], info["height"], info["frame_count"]) == (w, h, n)
+
+    outs = {}
+    for eng in ("golden", "native", "device"):
+        dec = tmp_path / f"dec_{eng}.yuv"
+        r = run_cli(["decode", "-i", tvc, "-o", dec, "--engine", eng])
+        assert r.returncode == 0, (eng, r.stderr[-500:])
+        outs[eng] = dec.read_bytes()
+    assert outs["golden"] == outs["native"] == outs["device"]
+
+    r = run_cli(["psnr", "-a", path, "-b", tmp_path / "dec_native.yuv",
+                 "-W", w, "-H", h])
+    assert r.returncode == 0
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["psnr_y"] > 30.0
+
+
+def test_cli_corrupt_stream(tmp_path, clip):
+    bad = tmp_path / "bad.tvc"
+    bad.write_bytes(b"XXXXgarbage")
+    r = run_cli(["decode", "-i", bad, "-o", tmp_path / "x.yuv"])
+    assert r.returncode == 1
+    assert "not a TVC1 stream" in r.stderr
+
+
+def test_native_parse_matches_golden(rng):
+    """tvc_parse_frame vs the python BitReader on a golden-encoded frame."""
+    from video_encoder_tpu.codec import golden, native
+    from video_encoder_tpu.codec.config import EncoderConfig
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    y = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    prev = golden.Frame.from_planes(
+        np.roll(y, (2, 3), (0, 1)),
+        np.full((24, 32), 99, np.uint8), np.full((24, 32), 141, np.uint8))
+    cur = golden.Frame.from_planes(
+        y, np.full((24, 32), 100, np.uint8), np.full((24, 32), 140, np.uint8))
+    cfg = EncoderConfig(width=64, height=48, gop_n=30, base_qp=26, rc="adaptive")
+    res0 = golden.encode_frame(cfg, prev, None, 0, 26)
+    res = golden.encode_frame(cfg, cur, res0.recon, 1, 26)
+    levels, dy, dx, inter, qps = native.parse_frame(
+        res.payload, res.payload_bits, True, 26, 3, 4)
+    # decode with golden and compare recon via the parsed arrays path
+    dec = golden.decode_frame(64, 48, 1, 26, res.payload, res.payload_bits, res0.recon)
+    assert np.array_equal(dec.y, res.recon.y)
+    assert qps.min() >= 1 and qps.max() <= 63
+    assert np.abs(np.stack([dy, dx])).max() <= 16

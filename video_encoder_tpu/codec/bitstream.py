@@ -69,6 +69,8 @@ def write_stream_header(f: BinaryIO, cfg: EncoderConfig, frame_count: int) -> No
 
 def read_stream_header(f: BinaryIO) -> StreamInfo:
     raw = f.read(STREAM_HEADER_SIZE)
+    if len(raw) < STREAM_HEADER_SIZE:
+        raise ValueError(f"not a TVC1 stream (only {len(raw)} header bytes)")
     magic, ver, flags, w, h, gop, qp, search, nframes, cfghash = struct.unpack(
         STREAM_HEADER_FMT, raw
     )

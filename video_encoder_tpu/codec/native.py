@@ -1,0 +1,99 @@
+"""ctypes bindings to the C++ codec library (oracle/liboracle.so).
+
+The serial entropy-decode stage is byte-stream-bound and runs on the host
+in C++ (SURVEY.md §7.0 "Host does bytes, device does math"; §2.2 native-code
+plan); reconstruction can then run on-device from the parsed arrays
+(pipeline/decoder.py DeviceDecodeEngine). Builds the library on first use
+with the local g++ (no pip deps — ctypes only, per the environment rules).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_ORACLE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "oracle",
+)
+_LIB_PATH = os.path.join(_ORACLE_DIR, "liboracle.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        r = subprocess.run(
+            ["make", "-C", _ORACLE_DIR, "liboracle.so"], capture_output=True
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"liboracle.so build failed: {r.stderr.decode()[:300]}")
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.tvc_parse_frame.restype = ctypes.c_int
+    lib.tvc_parse_frame.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.tvc_decode_stream.restype = ctypes.c_int
+    lib.tvc_decode_stream.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except (RuntimeError, OSError):
+        return False
+
+
+def parse_frame(payload: bytes, nbits: int, is_p: bool, base_qp: int, nby: int, nbx: int):
+    """Entropy-decode one frame payload → (levels_zz [nby,nbx,6,64],
+    dy, dx, is_inter, qp_mb) numpy arrays."""
+    lib = _load()
+    n = nby * nbx
+    levels = np.zeros(n * 6 * 64, dtype=np.int32)
+    mvs = np.zeros(n * 2, dtype=np.int32)
+    inter = np.zeros(n, dtype=np.uint8)
+    qps = np.zeros(n, dtype=np.int32)
+    rc = lib.tvc_parse_frame(
+        payload, nbits, int(is_p), base_qp, nby, nbx,
+        levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mvs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        qps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt TVC1 frame payload (code {rc})")
+    mvs = mvs.reshape(nby, nbx, 2)
+    return (
+        levels.reshape(nby, nbx, 6, 64),
+        mvs[:, :, 0],
+        mvs[:, :, 1],
+        inter.reshape(nby, nbx).astype(bool),
+        qps.reshape(nby, nbx),
+    )
+
+
+def decode_stream(data: bytes, width: int, height: int, nframes: int) -> np.ndarray:
+    """Full native decode → uint8 array [nframes, w*h*3/2]."""
+    lib = _load()
+    fsz = width * height * 3 // 2
+    out = np.zeros(nframes * fsz, dtype=np.uint8)
+    rc = lib.tvc_decode_stream(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size
+    )
+    if rc < 0:
+        raise ValueError(f"native decode failed (code {rc})")
+    return out.reshape(nframes, fsz)
