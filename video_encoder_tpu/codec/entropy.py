@@ -154,241 +154,6 @@ def pack_bits(values: jnp.ndarray, lengths: jnp.ndarray, n_words: int):
     return words, total_bits
 
 
-def pack_bits_fast(values: jnp.ndarray, lengths: jnp.ndarray, n_words: int):
-    """Scatter-free MSB-first pack (TPU production path).
-
-    Same contract as pack_bits, but built from prefix sums + one
-    searchsorted instead of a 2·n_syms scatter-add (XLA TPU scatters
-    serialize; this formulation is all dense vector work):
-
-    Every symbol k starts in word w_k = offset_k >> 5; w_k is sorted, so the
-    per-word sum of first-word contributions is a *sorted segment sum* =
-    difference of an inclusive prefix sum at segment boundaries, and the
-    boundaries come from one searchsorted(offsets, 32·(w+1)). Second-word
-    (spill) contributions target w_k + 1, i.e. the same boundaries shifted
-    by one word. uint32 wraparound keeps the differences exact.
-
-    n_words may be a *capacity* smaller than the worst case; the caller must
-    check total_bits <= 32*n_words (overflow → use a larger capacity).
-    """
-    values = values.reshape(-1).astype(jnp.uint32)
-    lengths = lengths.reshape(-1).astype(jnp.int32)
-    offsets = jnp.cumsum(lengths) - lengths
-    total_bits = offsets[-1] + lengths[-1] if lengths.size else jnp.int32(0)
-
-    s = (offsets & 31).astype(jnp.int32)
-    fits = (s + lengths) <= 32
-    sh1 = jnp.clip(jnp.where(fits, 32 - s - lengths, lengths - (32 - s)), 0, 31)
-    c1 = jnp.where(fits, values << sh1.astype(jnp.uint32), values >> sh1.astype(jnp.uint32))
-    sh2 = jnp.clip(64 - s - lengths, 0, 31)
-    c2 = jnp.where(fits, jnp.uint32(0), values << sh2.astype(jnp.uint32))
-    live = lengths > 0
-    c1 = jnp.where(live, c1, 0)
-    c2 = jnp.where(live & ~fits, c2, 0)
-
-    zero = jnp.zeros((1,), jnp.uint32)
-    p1 = jnp.concatenate([zero, jnp.cumsum(c1, dtype=jnp.uint32)])
-    p2 = jnp.concatenate([zero, jnp.cumsum(c2, dtype=jnp.uint32)])
-
-    # ub[w] = number of symbols whose start bit is < 32*(w+1)
-    bounds = 32 * (jnp.arange(n_words, dtype=jnp.int32) + 1)
-    ub = jnp.searchsorted(offsets, bounds, side="left").astype(jnp.int32)
-    ub_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), ub[:-1]])
-    ub_prev2 = jnp.concatenate([jnp.zeros((2,), jnp.int32), ub[:-2]])
-
-    words = (p1[ub] - p1[ub_prev]) + (p2[ub_prev] - p2[ub_prev2])
-    return words, total_bits
-
-
-# ---------------------------------------------------------------------------
-# Hierarchical two-phase pack (production path).
-#
-# XLA TPU scatters/gathers over millions of elements serialize badly (measured
-# ~100 ms/frame at 1080p), so the production pack is restructured:
-#   compaction:  per-block (run, level) symbols are compacted to the first
-#                K slots with one lax.sort over the 64 zigzag positions —
-#                symbol count drops ~3-5x, and ALL later stages scale with it.
-#   phase A:     each MB packs its own symbols into a private fixed-size
-#                word buffer with a dense compare-select reduction
-#                (no gather, no scatter — pure VPU work).
-#   phase B:     MB buffers are bit-aligned into the frame stream: each
-#                buffer is shifted by (frame_offset & 31) with word-carry
-#                (vector ops) and scatter-added at word granularity —
-#                ~n_mbs*(W+1) updates instead of 2*n_symbols.
-# Overflow anywhere (block nnz > K, MB bits > 32*W, frame bits > capacity)
-# is reported so the engine can fall back to the exact worst-case path.
-# ---------------------------------------------------------------------------
-
-
-def compact_block_symbols(levels_zz: jnp.ndarray, k_coeffs: int):
-    """Compact per-block (run, level) codes to the first `k_coeffs` slots.
-
-    levels_zz: [..., 64] zigzag-ordered levels. Returns (values, lengths)
-    [..., 2+2K] per block (cbf, nnz-1, then K (run, level) pairs) plus an
-    overflow flag [...,] true where nnz > K.
-    """
-    nz = levels_zz != 0
-    nnz = nz.sum(axis=-1).astype(jnp.int32)
-    cbf = nnz > 0
-    overflow = nnz > k_coeffs
-
-    idx = jnp.arange(64, dtype=jnp.int32)
-    masked_idx = jnp.where(nz, idx, -1)
-    cm = jax.lax.cummax(masked_idx, axis=masked_idx.ndim - 1)
-    prev_nz = jnp.concatenate(
-        [jnp.full((*cm.shape[:-1], 1), -1, jnp.int32), cm[..., :-1]], axis=-1
-    )
-    run = idx - prev_nz - 1
-
-    run_val, run_len = ue_code(jnp.where(nz, run, 0))
-    lev_val, lev_len = se_code(levels_zz)
-    run_len = jnp.where(nz, run_len, 0)
-    lev_len = jnp.where(nz, lev_len, 0)
-
-    # Compact nonzero symbols to the front (zigzag order preserved) with a
-    # dense one-hot reduction: dest slot of the i-th nonzero is cumsum-1.
-    # Cheaper than lax.sort (fuses to pure VPU compare-select-reduce).
-    dest = jnp.where(nz, jnp.cumsum(nz, axis=-1) - 1, k_coeffs)
-    slots = jnp.arange(k_coeffs, dtype=jnp.int32)
-    eq = dest[..., :, None] == slots  # [..., 64, K]
-
-    def compact(x):
-        return jnp.where(eq, x[..., :, None], 0).sum(axis=-2, dtype=x.dtype)
-
-    run_val_c = compact(run_val)
-    run_len_c = compact(run_len)
-    lev_val_c = compact(lev_val)
-    lev_len_c = compact(lev_len)
-
-    cbf_val = cbf.astype(jnp.uint32)
-    cbf_len = jnp.ones_like(nnz)
-    nnz_val, nnz_len = ue_code(jnp.maximum(nnz - 1, 0))
-    nnz_len = jnp.where(cbf, nnz_len, 0)
-
-    pair_val = jnp.stack([run_val_c, lev_val_c], axis=-1).reshape(
-        *run_val_c.shape[:-1], 2 * k_coeffs
-    )
-    pair_len = jnp.stack([run_len_c, lev_len_c], axis=-1).reshape(
-        *run_len_c.shape[:-1], 2 * k_coeffs
-    )
-    values = jnp.concatenate([cbf_val[..., None], nnz_val[..., None], pair_val], axis=-1)
-    lengths = jnp.concatenate([cbf_len[..., None], nnz_len[..., None], pair_len], axis=-1)
-    return values.astype(jnp.uint32), lengths.astype(jnp.int32), overflow
-
-
-def mb_symbols_compact(
-    levels_zz: jnp.ndarray,  # [nby, nbx, 6, 64]
-    qp_delta: jnp.ndarray,
-    is_p_frame: jnp.ndarray,
-    is_inter: jnp.ndarray,
-    dy: jnp.ndarray,
-    dx: jnp.ndarray,
-    k_coeffs: int,
-):
-    """Compacted per-MB symbols [nby, nbx, 4 + 6*(2+2K)] (+ overflow flag)."""
-    nby, nbx = qp_delta.shape
-    p = jnp.asarray(is_p_frame, jnp.bool_)
-
-    mode_val, mode_len = ue_code(jnp.where(is_inter, 0, 1))
-    mode_len = jnp.where(p, mode_len, 0)
-    inter_p = is_inter & p
-    dx_val, dx_len = se_code(dx)
-    dy_val, dy_len = se_code(dy)
-    dx_len = jnp.where(inter_p, dx_len, 0)
-    dy_len = jnp.where(inter_p, dy_len, 0)
-    qpd_val, qpd_len = se_code(qp_delta)
-
-    blk_val, blk_len, blk_ovf = compact_block_symbols(levels_zz, k_coeffs)
-
-    head_val = jnp.stack([mode_val, dx_val, dy_val, qpd_val], axis=-1)
-    head_len = jnp.stack([mode_len, dx_len, dy_len, qpd_len], axis=-1)
-    values = jnp.concatenate(
-        [head_val.astype(jnp.uint32), blk_val.reshape(nby, nbx, -1)], axis=-1
-    )
-    lengths = jnp.concatenate([head_len, blk_len.reshape(nby, nbx, -1)], axis=-1)
-    values = jnp.where(lengths > 0, values, 0)
-    return values, lengths.astype(jnp.int32), blk_ovf.any()
-
-
-def pack_mb_local(values: jnp.ndarray, lengths: jnp.ndarray, mb_words: int):
-    """Phase A: pack each MB's symbols into its own [mb_words] buffer.
-
-    values/lengths: [n_mbs, S]. Returns (buffers [n_mbs, mb_words] uint32,
-    mb_bits [n_mbs] int32, overflow flag). Dense compare-select reduction:
-    no gather/scatter anywhere.
-    """
-    n_mbs, s = values.shape
-    off = jnp.cumsum(lengths, axis=1) - lengths          # [n_mbs, S] local bits
-    mb_bits = off[:, -1] + lengths[:, -1]
-    overflow = (mb_bits > 32 * mb_words).any()
-
-    sh = (off & 31).astype(jnp.int32)
-    fits = (sh + lengths) <= 32
-    sh1 = jnp.clip(jnp.where(fits, 32 - sh - lengths, lengths - (32 - sh)), 0, 31)
-    c1 = jnp.where(
-        fits, values << sh1.astype(jnp.uint32), values >> sh1.astype(jnp.uint32)
-    )
-    sh2 = jnp.clip(64 - sh - lengths, 0, 31)
-    c2 = jnp.where(fits, jnp.uint32(0), values << sh2.astype(jnp.uint32))
-    live = lengths > 0
-    c1 = jnp.where(live, c1, 0)
-    c2 = jnp.where(live & ~fits, c2, 0)
-
-    w1 = (off >> 5).astype(jnp.int32)                    # [n_mbs, S]
-    wgrid = jnp.arange(mb_words, dtype=jnp.int32)        # [W]
-    # words[m, w] = sum_j (w1==w)*c1 + (w1+1==w)*c2 — broadcast-compare-reduce
-    eq1 = w1[:, :, None] == wgrid[None, None, :]
-    eq2 = (w1 + 1)[:, :, None] == wgrid[None, None, :]
-    words = (
-        jnp.where(eq1, c1[:, :, None], 0).sum(axis=1, dtype=jnp.uint32)
-        + jnp.where(eq2, c2[:, :, None], 0).sum(axis=1, dtype=jnp.uint32)
-    )
-    return words, mb_bits.astype(jnp.int32), overflow
-
-
-def assemble_frame(buffers: jnp.ndarray, mb_bits: jnp.ndarray, n_words: int):
-    """Phase B: bit-align per-MB buffers into the frame word stream.
-
-    buffers [n_mbs, W] uint32, mb_bits [n_mbs]. Each buffer is shifted right
-    by (frame_offset & 31) bits with word carry (vector ops over [n_mbs, W+1])
-    then scatter-added at word offsets — n_mbs*(W+1) updates total.
-    Returns (words [n_words] uint32, total_bits, overflow flag).
-    """
-    n_mbs, w = buffers.shape
-    off = jnp.cumsum(mb_bits) - mb_bits                  # frame bit offsets
-    total_bits = off[-1] + mb_bits[-1]
-    overflow = total_bits > 32 * n_words
-
-    s = (off & 31).astype(jnp.uint32)[:, None]           # [n_mbs, 1]
-    # shifted[k] = (buf[k] >> s) | (buf[k-1] << (32-s)), k in [0, W], buf[-1]=buf[W]=0
-    buf_ext = jnp.concatenate([buffers, jnp.zeros((n_mbs, 1), jnp.uint32)], axis=1)
-    prev = jnp.concatenate([jnp.zeros((n_mbs, 1), jnp.uint32), buffers], axis=1)
-    shifted = jnp.where(s > 0, (buf_ext >> s) | (prev << (32 - s)), buf_ext)
-
-    base = (off >> 5).astype(jnp.int32)[:, None] + jnp.arange(w + 1, dtype=jnp.int32)
-    words = jnp.zeros((n_words,), jnp.uint32)
-    words = words.at[base.reshape(-1)].add(shifted.reshape(-1), mode="drop")
-    return words, total_bits, overflow
-
-
-def pack_frame(
-    values: jnp.ndarray,   # [nby, nbx, S]
-    lengths: jnp.ndarray,  # [nby, nbx, S]
-    mb_words: int,
-    n_words: int,
-):
-    """Two-phase production pack. Bit-exact with pack_bits given no overflow.
-
-    Returns (words, total_bits, mb_bits [nby, nbx], overflow flag).
-    """
-    nby, nbx, s = values.shape
-    v = values.reshape(-1, s)
-    l = lengths.reshape(-1, s)
-    bufs, mb_bits, ovf_a = pack_mb_local(v, l, mb_words)
-    words, total_bits, ovf_b = assemble_frame(bufs, mb_bits, n_words)
-    return words, total_bits, mb_bits.reshape(nby, nbx), ovf_a | ovf_b
-
-
 # ---------------------------------------------------------------------------
 # Blocked pack v3 — the production path.
 #
@@ -603,8 +368,6 @@ def tree_concat(buffers: jnp.ndarray, bits: jnp.ndarray, n_words: int):
 
 BLOCK_WORDS_DEFAULT = 24  # 768 bits per 8x8 block budget
 BLOCK_WORDS_MAX = (1 + 13 + 64 * (13 + 25) + 31) // 32 + 1  # exact worst case
-MB_WORDS_DEFAULT = 32          # 1024 bits/MB budget for the MB assembly tier
-MB_WORDS_MAX = (MAX_MB_BITS + 31) // 32 + 1
 
 
 def capacity_words(n_mbs: int, bits_per_mb: int = 1024) -> int:

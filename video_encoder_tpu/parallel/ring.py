@@ -1,0 +1,150 @@
+"""Temporal ring pipeline — the sequence-parallel analogue (SURVEY.md §2.1
+SP/ring-attention row; [B:5] "reference frames ... exchanged via ppermute").
+
+The P-frame chain frame t -> t+1 is serial, so a single GOP cannot be
+frame-parallel; but D independent streams can share D devices in a rotating
+schedule: at micro-step m, device d encodes frame m of stream
+(d - m) mod D, then `ppermute`s its reconstruction to device d+1, which
+encodes frame m+1 of the same stream at the next step. Every device is busy
+every step and each reconstruction crosses exactly one ICI hop — the direct
+analogue of ring-attention's neighbor exchange.
+
+Bitstreams are byte-identical to per-stream single-device encodes (tested),
+because nothing but the schedule changes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..codec import entropy, spec
+from ..codec.bitstream import FramePacket
+from ..codec.golden import Frame
+from ..pipeline.gop_engine import encode_frame_traced
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "search", "rc", "block_words", "cap_words"),
+)
+def encode_ring_jit(
+    y_u8, cb_u8, cr_u8, base_qp,
+    *, mesh, search, rc, block_words, cap_words,
+):
+    """y_u8: [T, D, H, W] uint8 pre-rotated so that xs[m] on device d is
+    frame m of stream (d - m) mod D. Outputs words/bits in the same rotated
+    layout; the host derotates."""
+
+    def per_device(y, cb, cr):
+        # local shapes [T, 1, H, W] — squeeze the device axis
+        y = y[:, 0]
+        cb = cb[:, 0]
+        cr = cr[:, 0]
+
+        def body(carry, xs):
+            ref_y, ref_cb, ref_cr = carry
+            cur_y = xs["y"].astype(jnp.int32)
+            cur_cb = xs["cb"].astype(jnp.int32)
+            cur_cr = xs["cr"].astype(jnp.int32)
+            kw = dict(search=search, rc=rc, block_words=block_words,
+                      cap_words=cap_words)
+            out = jax.lax.cond(
+                xs["m"] > 0,
+                lambda: encode_frame_traced(
+                    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
+                    is_p=True, **kw),
+                lambda: encode_frame_traced(
+                    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
+                    is_p=False, **kw),
+            )
+            # ring hop: my stream's recon moves to the next device, which
+            # encodes that stream's next frame at the next micro-step
+            n = jax.lax.axis_size("ring")
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            nref_y = jax.lax.ppermute(out["rec_y"], "ring", perm)
+            nref_cb = jax.lax.ppermute(out["rec_cb"], "ring", perm)
+            nref_cr = jax.lax.ppermute(out["rec_cr"], "ring", perm)
+            return (nref_y, nref_cb, nref_cr), dict(
+                words=out["words"], bits=out["bits"], ovf=out["ovf"]
+            )
+
+        t = y.shape[0]
+        init = (
+            jnp.zeros(y.shape[1:], jnp.int32),
+            jnp.zeros(cb.shape[1:], jnp.int32),
+            jnp.zeros(cr.shape[1:], jnp.int32),
+        )
+        xs = dict(y=y, cb=cb, cr=cr, m=jnp.arange(t, dtype=jnp.int32))
+        _, outs = jax.lax.scan(body, init, xs)
+        return jax.tree.map(lambda a: a[:, None], outs)  # restore device axis
+
+    sh = P(None, "ring", None, None)
+    return shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(sh, sh, sh),
+        out_specs=dict(words=P(None, "ring"), bits=P(None, "ring"),
+                       ovf=P(None, "ring")),
+        check_vma=False,
+    )(y_u8, cb_u8, cr_u8)
+
+
+class RingEncoder:
+    """Host driver: D equal-length streams of T frames, one ring pass."""
+
+    def __init__(self, cfg, mesh: Mesh):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.d = mesh.shape["ring"]
+
+    def encode_streams(
+        self, streams: list[list[Frame]], first_indices: list[int]
+    ) -> list[list[FramePacket]]:
+        """streams: D streams × T frames. Returns packets per stream."""
+        cfg = self.cfg
+        d = self.d
+        assert len(streams) == d
+        t = len(streams[0])
+        h, w = streams[0][0].y.shape
+        n_mbs = (h // spec.MB) * (w // spec.MB)
+
+        # rotate: xs[m, dev] = stream (dev - m) % d, frame m
+        y = np.zeros((t, d, h, w), np.uint8)
+        cb = np.zeros((t, d, h // 2, w // 2), np.uint8)
+        cr = np.zeros((t, d, h // 2, w // 2), np.uint8)
+        for m in range(t):
+            for dev in range(d):
+                s = (dev - m) % d
+                y[m, dev] = streams[s][m].y
+                cb[m, dev] = streams[s][m].cb
+                cr[m, dev] = streams[s][m].cr
+
+        outs = encode_ring_jit(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), cfg.base_qp,
+            mesh=self.mesh, search=cfg.search, rc=cfg.rc,
+            block_words=entropy.BLOCK_WORDS_MAX,
+            cap_words=entropy.max_words(n_mbs),
+        )
+        assert not bool(np.asarray(outs["ovf"]).any())
+        bits = np.asarray(outs["bits"])      # [T, D]
+        words = np.asarray(outs["words"])    # [T, D, cap]
+
+        packets: list[list[FramePacket]] = [[] for _ in range(d)]
+        for m in range(t):
+            for dev in range(d):
+                s = (dev - m) % d
+                nw = (int(bits[m, dev]) + 31) // 32
+                payload = words[m, dev, :nw].astype(">u4").tobytes()
+                packets[s].append(
+                    FramePacket(
+                        first_indices[s] + m, 0 if m == 0 else 1,
+                        cfg.base_qp, int(bits[m, dev]), payload,
+                    )
+                )
+        return packets

@@ -79,6 +79,88 @@ def encode_gop(
     return packets, stats
 
 
+class GoldenGopAdapter:
+    """GOP-level interface over the golden engine (for tests / CPU runs)."""
+
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+
+    def encode_gop(self, frames: list[Frame], first_index: int):
+        return encode_gop(self.cfg, GoldenEngine(), frames, 0, first_index)
+
+
+def encode_clip_resumable(
+    cfg: EncoderConfig,
+    raw_frames: Iterable[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    out_path: str,
+    n_frames: int,
+    engine,
+    checkpoint_path: str,
+    timer=None,
+    log=None,
+) -> RunSummary:
+    """Killable clip encode: resumes losslessly at the last GOP boundary
+    (SURVEY.md §5 checkpoint row). The resumed stream is byte-identical to
+    an uninterrupted encode. `engine` must expose
+    encode_gop(frames, first_index) like pipeline.gop_engine.GopEngine.
+    """
+    from . import checkpoint as ckpt
+    from .bitstream_writer import open_stream_for_resume
+
+    state = ckpt.load(checkpoint_path, cfg)
+    start_frame = state.next_frame if state else 0
+    summary = state.to_summary() if state else RunSummary()
+
+    f = open_stream_for_resume(out_path, cfg, n_frames, state)
+    try:
+        it = iter(raw_frames)
+        for _ in range(start_frame):  # skip already-encoded input frames
+            next(it)
+        gop: list[Frame] = []
+        idx = start_frame
+        count = start_frame
+
+        def flush(gop, idx):
+            t0 = time.perf_counter()
+            packets, stats = engine.encode_gop(gop, idx)
+            for p in packets:
+                f.write(p.to_bytes())
+            f.flush()
+            for s in stats:
+                summary.add(s)
+            if log:
+                log.emit("gop", first=idx, frames=len(gop),
+                         ms=round((time.perf_counter() - t0) * 1e3, 1))
+            ckpt.save(
+                checkpoint_path,
+                ckpt.EncodeState(
+                    config_hash=cfg.config_hash(),
+                    next_frame=idx + len(gop),
+                    byte_offset=f.tell(),
+                    frames_done=summary.frames,
+                    total_bits=summary.total_bits,
+                    total_ms=summary.total_ms,
+                    sum_psnr_y=summary.sum_psnr_y,
+                ),
+            )
+
+        for planes in it:
+            if count >= n_frames:
+                break
+            gop.append(Frame.from_planes(*planes))
+            count += 1
+            if len(gop) == cfg.gop_n:
+                flush(gop, idx)
+                idx += len(gop)
+                gop = []
+        if gop:
+            flush(gop, idx)
+    finally:
+        f.close()
+    ckpt.clear(checkpoint_path)
+    return summary
+
+
 def encode_clip(
     cfg: EncoderConfig,
     raw_frames: Iterable[tuple[np.ndarray, np.ndarray, np.ndarray]],
