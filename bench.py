@@ -42,7 +42,7 @@ def synth_clip(t, h, w, seed=0):
         noise = rng.integers(-2, 3, y.shape)
         sq = rng.integers(0, 256, (64, 64))
         yy = y + noise
-        px, py = 200 + 11 * k, 300 + 7 * k
+        px, py = (200 + 11 * k) % max(w - 64, 1), (300 + 7 * k) % max(h - 64, 1)
         yy[py : py + 64, px : px + 64] = sq
         ys.append(np.clip(yy, 0, 255).astype(np.uint8))
         cbs.append(np.full((h // 2, w // 2), 108 + k, np.uint8))

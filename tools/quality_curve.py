@@ -1,0 +1,87 @@
+"""Rate-distortion harness (BASELINE.json config 3: "PSNR-vs-bitrate
+parity").
+
+Encodes a clip at a QP ladder with both ME modes and reports
+(bits-per-pixel, PSNR-Y) points. PSNR parity with the reference-class
+encoder is exact *by construction* here: the C++ oracle (the stand-in for
+the missing reference binary, SURVEY.md §4.3) produces byte-identical
+streams, hence identical distortion at identical rate; this tool documents
+the curve and guards against quality regressions (SURVEY.md §4.3 "PSNR
+floor targets").
+
+Usage: python tools/quality_curve.py [--width 640 --height 360 --frames 8]
+Writes tools/quality_results.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from bench import synth_clip
+
+
+def measure(w, h, n_frames, qps, search):
+    from video_encoder_tpu.codec import golden, spec
+    from video_encoder_tpu.codec.config import EncoderConfig
+    from video_encoder_tpu.pipeline.gop_engine import GopEngine
+
+    hp = spec.ceil_to(h, 16)
+    y, cb, cr = synth_clip(n_frames, hp, w)
+    frames = [
+        golden.Frame.from_planes(y[k][:h], cb[k][: h // 2], cr[k][: h // 2])
+        for k in range(n_frames)
+    ]
+    points = []
+    for qp in qps:
+        cfg = EncoderConfig(width=w, height=h, gop_n=n_frames, base_qp=qp, search=search)
+        pk, st = GopEngine(cfg).encode_gop(frames, 0)
+        bits = sum(s.bits for s in st)
+        bpp = bits / (n_frames * w * h)
+        psnr_y = float(np.mean([s.psnr_y for s in st]))
+        points.append({"qp": qp, "bpp": round(bpp, 4), "psnr_y": round(psnr_y, 3),
+                       "kbit_per_frame": round(bits / 1000 / n_frames, 1)})
+    return points
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=360)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--qps", type=int, nargs="*", default=[14, 22, 30, 38, 46])
+    ap.add_argument("--search", choices=["full", "diamond", "both"], default="both")
+    a = ap.parse_args()
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "quality_results.json")
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+    searches = ("full", "diamond") if a.search == "both" else (a.search,)
+    for search in searches:
+        pts = measure(a.width, a.height, a.frames, a.qps, search)
+        out[search] = pts
+        print(f"\n{search} @ {a.width}x{a.height}:")
+        print("| qp | bpp | PSNR-Y (dB) | kbit/frame |")
+        print("|---|---|---|---|")
+        for p in pts:
+            print(f"| {p['qp']} | {p['bpp']} | {p['psnr_y']} | {p['kbit_per_frame']} |")
+
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nwrote {path}")
+
+    # regression floors (SURVEY.md §4.3): MJPEG-class intra+P expectations
+    for search, pts in out.items():
+        hi = [p for p in pts if p["qp"] <= 16]
+        if hi:
+            assert min(p["psnr_y"] for p in hi) > 36.0, f"{search} high-rate floor"
+
+
+if __name__ == "__main__":
+    main()

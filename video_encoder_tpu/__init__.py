@@ -10,3 +10,17 @@ mesh with collective reference-frame/halo exchange, and an in-order host mux.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: GOP-program compiles through the axon
+# remote-compile relay cost minutes; cache them across processes.
+try:  # pragma: no cover - environment dependent
+    import os as _os
+
+    import jax as _jax
+
+    _cache = _os.environ.get("TVC_JAX_CACHE", _os.path.expanduser("~/.tvc_jax_cache"))
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

@@ -13,6 +13,26 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up (SURVEY.md §2.1 comm-backend row; BASELINE.json
+    config 5). On a pod slice, call once per host before building meshes;
+    the same shard_map programs then span processes — ICI within a slice,
+    DCN across hosts. No-ops when unconfigured (single-process dev box)."""
+    import jax
+
+    if num_processes is None and "JAX_NUM_PROCESSES" not in __import__("os").environ:
+        return  # single-process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_codec_mesh(gop_devices: int = 0, tile_devices: int = 1) -> Mesh:
     """2-D ('gop', 'tile') mesh. gop_devices=0 → use all devices on gop."""
     devs = jax.devices()

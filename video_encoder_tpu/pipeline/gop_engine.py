@@ -31,8 +31,13 @@ from .device_engine import assemble_blocks, scatter_blocks
 
 
 def _block_words_for_qp(qp: int) -> int:
-    """Per-8x8-block word budget for the blocked pack (overflow -> exact)."""
-    return entropy.BLOCK_WORDS_DEFAULT
+    """Per-8x8-block word budget for the blocked pack (overflow -> exact
+    worst-case rerun); finer quantizers keep more coefficients."""
+    if qp >= 20:
+        return entropy.BLOCK_WORDS_DEFAULT  # 24 words = 768 bits/block
+    if qp >= 14:
+        return 48
+    return entropy.BLOCK_WORDS_MAX
 
 
 def _code_frame(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb):
