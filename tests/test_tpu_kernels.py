@@ -1,0 +1,49 @@
+"""TPU-only kernel tests (RUN_TPU_TESTS=1): odd MB grids exercise the
+tile-padding paths of the Pallas kernels; skipped on CPU where the jnp
+fallbacks (already covered) are dispatched instead."""
+
+import os
+
+import numpy as np
+import pytest
+
+if not os.environ.get("RUN_TPU_TESTS"):
+    pytest.skip("TPU-only kernel tests (set RUN_TPU_TESTS=1)", allow_module_level=True)
+
+import jax
+import jax.numpy as jnp
+
+from video_encoder_tpu.ops import motion
+from video_encoder_tpu.ops.pallas import diamond as pdia, sad as psad
+from video_encoder_tpu.ops.transform import blockify
+
+
+@pytest.mark.parametrize("h,w", [(368, 640), (144, 208), (1088, 1920)])
+def test_full_search_odd_grids(rng, h, w):
+    cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    ref = jnp.roll(cur, (5, -7), (0, 1))
+    gdy, gdx, gsad = motion.full_search(cur, ref)
+    pdy, pdx, ps = psad.full_search(cur, ref)
+    assert jnp.array_equal(gdy, pdy) and jnp.array_equal(gdx, pdx)
+    assert jnp.array_equal(gsad, ps)
+
+
+@pytest.mark.parametrize("h,w", [(368, 640), (144, 208)])
+def test_diamond_odd_grids(rng, h, w):
+    cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    ref = jnp.roll(cur, (2, 3), (0, 1))
+    g = motion.diamond_search(cur, ref)
+    p = pdia.diamond_search(cur, ref)
+    assert all(bool(jnp.array_equal(a, b)) for a, b in zip(g, p))
+
+
+def test_mc_kernels_odd_grid(rng):
+    h, w = 144, 208
+    ref = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    nby, nbx = h // 16, w // 16
+    dy = jnp.asarray(rng.integers(-16, 17, (nby, nbx)), jnp.int32)
+    dx = jnp.asarray(rng.integers(-16, 17, (nby, nbx)), jnp.int32)
+    refpad = motion.pad_ref(ref, 16)
+    want = motion.mc_fetch(refpad, dy, dx, 16, 16)
+    got = blockify(psad.mc_fetch_plane(ref, dy, dx), 16)
+    assert jnp.array_equal(want, got)
