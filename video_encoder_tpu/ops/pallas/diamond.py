@@ -139,7 +139,7 @@ def diamond_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
         _diamond_kernel,
         grid=(gy // TM, gx // TN),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[spec_mb, spec_mb, spec_mb],

@@ -6,8 +6,10 @@ Design (see /opt/skills/guides/pallas_guide.md):
 - The padded reference stays in HBM (pl.ANY); each grid step DMAs its
   96×160 halo window into VMEM scratch once, then the candidate loop is
   pure VPU work over VMEM (dynamic slices + abs-diff + per-MB reduction).
-- Full search: fori_loop over the 1089 candidates with strict-< running
-  argmin (first-occurrence tie-break == SPEC.md §9 row-major order).
+- Full search: fori_loop over the 33 dy rows; each row's 33 dx diffs are
+  batched into one bf16 matmul reduction (exact — see _full_search_kernel)
+  and folded into a packed sad*2048+index key whose min reproduces the
+  strict-< first-occurrence tie-break (SPEC.md §9 row-major order).
 - sad_at_mv / mc_fetch: per-MB dynamic slices inside the same windows,
   used by the diamond search steps and the predictor fetch.
 
@@ -53,58 +55,64 @@ def _mb_block_spec():
     return pl.BlockSpec((1, 1, TM, TN), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
 
 
-def _full_search_kernel(refpad_hbm, cur_ref, sad_ref, idx_ref, win, rots, sem):
+ND = 2 * R + 1  # 33 shifts per axis
+
+
+def _full_search_kernel(refpad_hbm, cur_ref, sad_ref, idx_ref, win, rots, diff, sem):
+    """One dy-row of candidates per loop step, reduced by ONE batched matmul.
+
+    The naive shape (one [TH,TW]x[TW,TN] matmul per candidate) is MXU
+    latency-bound: ~49 ms/frame at 1080p. Batching all 33 dx diffs of a dy
+    into a single [ND*TH, TW] x [TW, TN] bf16 matmul (diffs <= 255 are exact
+    in bf16; the MXU accumulates in f32, so column sums <= 4080 are exact)
+    runs the same frame in ~9.6 ms. The running argmin is kept as a packed
+    key sad*2048 + candidate_index, whose minimum reproduces the spec's
+    strict-< row-major (dy, dx) first-occurrence tie-break exactly
+    (sad <= 65280 and index < 1089 so the key fits int32).
+    """
     i, j = pl.program_id(0), pl.program_id(1)
     dma = pltpu.make_async_copy(
         refpad_hbm.at[pl.ds(i * TH, WH), pl.ds(j * TW, WWA)], win, sem
     )
     dma.start()
-    cur = cur_ref[:].astype(jnp.float32)
+    cur = cur_ref[:].astype(jnp.bfloat16)
     dma.wait()
 
     # 8 row-rotated copies so any dy slice becomes sublane-aligned:
     # rots[r][q*8 : q*8+TH] == win[q*8+r : q*8+r+TH]  for dy = 8q + r.
     w0 = win[:]
     for r in range(8):
-        rots[r] = pltpu.roll(w0, (WH - r) % WH, 0)  # rots[r][i] == w0[i + r]
+        rots[r] = pltpu.roll(w0, (WH - r) % WH, 0).astype(jnp.bfloat16)
 
-    # per-MB reductions on the MXU: left [TM, TH] row-block ones,
-    # right [TW, TN] col-block ones; sums <= 65280 are exact in f32.
-    rowb = jax.lax.broadcasted_iota(jnp.int32, (TM, TH), 1) // MB
-    left = (rowb == jax.lax.broadcasted_iota(jnp.int32, (TM, TH), 0)).astype(jnp.float32)
+    # col-block reduction matrix [TW, TN] (0/1, exact in bf16)
     colb = jax.lax.broadcasted_iota(jnp.int32, (TW, TN), 0) // MB
-    right = (colb == jax.lax.broadcasted_iota(jnp.int32, (TW, TN), 1)).astype(jnp.float32)
+    right = (colb == jax.lax.broadcasted_iota(jnp.int32, (TW, TN), 1)).astype(
+        jnp.bfloat16
+    )
 
-    def body(dy, carry):
-        best_sad, best_idx = carry
+    def body(dy, best):
         r = jax.lax.rem(dy, 8)
         q8 = pl.multiple_of(dy - r, 8)
-        strip = rots[r, pl.ds(q8, TH), :].astype(jnp.float32)  # [TH, WW]
-        for dx in range(2 * R + 1):  # static unroll: lane slices of a value
+        strip = rots[r, pl.ds(q8, TH), :]  # [TH, WWA] bf16
+        for dx in range(ND):  # static unroll: lane slices of a value
             cand = jax.lax.slice(strip, (0, dx), (TH, dx + TW))
-            diff = jnp.abs(cur - cand)
-            colsum = jax.lax.dot_general(
-                diff, right, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            sad = jax.lax.dot_general(
-                left, colsum, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # colsum > 2048 is not bf16-exact
-            ).astype(jnp.int32)
-            better = sad < best_sad
-            k = dy * (2 * R + 1) + dx
-            best_sad = jnp.where(better, sad, best_sad)
-            best_idx = jnp.where(better, k, best_idx)
-        return best_sad, best_idx
+            diff[dx] = jnp.abs(cur - cand)
+        d2 = diff[:].reshape(ND * TH, TW)
+        colsum = jax.lax.dot_general(  # [ND*TH, TN] f32, exact (<= 4080)
+            d2, right, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # 16-row sums per MB: f32 exact (<= 65280)
+        sad = jnp.sum(colsum.reshape(ND, TM, MB, TN), axis=2)
+        k = dy * ND + jax.lax.broadcasted_iota(jnp.int32, (ND, TM, TN), 0)
+        key = sad.astype(jnp.int32) * 2048 + k
+        return jnp.minimum(best, jnp.min(key, axis=0))
 
-    init = (
-        jnp.full((TM, TN), jnp.int32(1 << 30)),
-        jnp.zeros((TM, TN), jnp.int32),
+    best = jax.lax.fori_loop(
+        0, ND, body, jnp.full((TM, TN), jnp.int32(2**31 - 1))
     )
-    best_sad, best_idx = jax.lax.fori_loop(0, 2 * R + 1, body, init)
-    sad_ref[0, 0] = best_sad
-    idx_ref[0, 0] = best_idx
+    sad_ref[0, 0] = best >> 11
+    idx_ref[0, 0] = best & 2047
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -127,7 +135,7 @@ def full_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
         _full_search_kernel,
         grid=(gy // TM, gx // TN),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # refpad stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # refpad stays in HBM
             pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[_mb_block_spec(), _mb_block_spec()],
@@ -137,15 +145,16 @@ def full_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
         ],
         scratch_shapes=[
             pltpu.VMEM((WH, WWA), jnp.int32),
-            pltpu.VMEM((8, WH, WWA), jnp.int32),
+            pltpu.VMEM((8, WH, WWA), jnp.bfloat16),
+            pltpu.VMEM((ND, TH, TW), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
     )(refpad, cur_p)
 
     sad = _from_tiles(sad)[:nby, :nbx]
     idx = _from_tiles(idx)[:nby, :nbx]
-    dy = idx // (2 * R + 1) - R
-    dx = idx % (2 * R + 1) - R
+    dy = idx // ND - R
+    dx = idx % ND - R
     return dy, dx, sad
 
 
@@ -244,13 +253,13 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
         if out_is_plane:
             out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
             out_shape = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
-            in_specs = [pl.BlockSpec(memory_space=pltpu.ANY), mb_spec(), mb_spec()]
+            in_specs = [pl.BlockSpec(memory_space=pl.ANY), mb_spec(), mb_spec()]
             args = (refpad, dy_p, dx_p)
         else:
             out_spec = mb_spec()
             out_shape = jax.ShapeDtypeStruct((gy // tm, gx // tn, tm, tn), jnp.int32)
             in_specs = [
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
                 mb_spec(),
                 mb_spec(),
