@@ -88,3 +88,43 @@ def test_block_overflow_flagged(rng):
         jnp.asarray(lv), jnp.asarray(z), jnp.asarray(False),
         jnp.asarray(z.astype(bool)), jnp.asarray(z), jnp.asarray(z), 8, cap)
     assert bool(ovf)
+
+
+def test_pack_frame_planes_matches_blocked(rng):
+    """pack_frame_planes (per-plane levels) is byte-identical to
+    pack_frame_blocked (interleaved blocks6 levels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_encoder_tpu.codec import entropy
+
+    nby, nbx = 6, 10
+    lz6 = jnp.asarray(
+        rng.integers(-40, 40, (nby, nbx, 6, 64)) * (rng.random((nby, nbx, 6, 64)) < 0.2),
+        jnp.int32,
+    )
+    # split into per-plane layouts (inverse of the blocks6 interleave)
+    lzy = jnp.zeros((2 * nby, 2 * nbx, 64), jnp.int32)
+    lzy = lzy.at[0::2, 0::2].set(lz6[:, :, 0])
+    lzy = lzy.at[0::2, 1::2].set(lz6[:, :, 1])
+    lzy = lzy.at[1::2, 0::2].set(lz6[:, :, 2])
+    lzy = lzy.at[1::2, 1::2].set(lz6[:, :, 3])
+    lzcb, lzcr = lz6[:, :, 4], lz6[:, :, 5]
+
+    qpd = jnp.asarray(rng.integers(-3, 4, (nby, nbx)), jnp.int32)
+    is_inter = jnp.asarray(rng.integers(0, 2, (nby, nbx)).astype(bool))
+    dy = jnp.asarray(rng.integers(-16, 17, (nby, nbx)), jnp.int32)
+    dx = jnp.asarray(rng.integers(-16, 17, (nby, nbx)), jnp.int32)
+    cap = entropy.capacity_words(nby * nbx, 2048)
+
+    for is_p in (False, True):
+        w1, t1, m1, o1 = entropy.pack_frame_blocked(
+            lz6, qpd, jnp.asarray(is_p), is_inter, dy, dx, 24, cap
+        )
+        w2, t2, m2, o2 = entropy.pack_frame_planes(
+            lzy, lzcb, lzcr, qpd, jnp.asarray(is_p), is_inter, dy, dx, 24, cap
+        )
+        assert int(t1) == int(t2)
+        assert jax.numpy.array_equal(w1, w2)
+        assert jax.numpy.array_equal(m1, m2)
+        assert bool(o1) == bool(o2)

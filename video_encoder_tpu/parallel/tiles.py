@@ -137,12 +137,12 @@ def encode_frame_tile_traced(
     else:
         qp_mb = jnp.full((nby, nbx), base_qp, jnp.int32)
 
-    levels_zz, rec_y, rec_cb, rec_cr = _code_frame(
+    (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr = _code_frame(
         cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb
     )
-    words, bits, mb_bits, ovf_p = entropy.pack_frame_blocked(
-        levels_zz, qp_mb - base_qp, jnp.asarray(is_p), is_inter, dy, dx,
-        block_words, cap_words,
+    words, bits, mb_bits, ovf_p = entropy.pack_frame_planes(
+        lz_y, lz_cb, lz_cr, qp_mb - base_qp, jnp.asarray(is_p), is_inter,
+        dy, dx, block_words, cap_words,
     )
     frame_bits = jax.lax.psum(bits, axis_name)  # RC/stats aggregate over tiles
     return dict(

@@ -27,7 +27,6 @@ from ..codec.config import EncoderConfig
 from ..codec.golden import Frame
 from ..ops import dispatch, motion, transform as tx
 from ..utils.metrics import FrameStats
-from .device_engine import assemble_blocks, scatter_blocks
 
 
 def _block_words_for_qp(qp: int) -> int:
@@ -40,30 +39,33 @@ def _block_words_for_qp(qp: int) -> int:
     return entropy.BLOCK_WORDS_MAX
 
 
-def _code_frame(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb):
-    """Shared transform→quant→zigzag→recon stages (C9–C11, C14)."""
-    cur_yb = tx.blockify(cur_y, spec.MB)
-    pred_yb = tx.blockify(pred_y, spec.MB)
-    resid_y8 = tx.blockify(cur_y - pred_y, spec.BLK)
-    resid_cb = tx.blockify(cur_cb - pred_cb, spec.BLK)
-    resid_cr = tx.blockify(cur_cr - pred_cr, spec.BLK)
-    nby, nbx = qp_mb.shape
-    blocks6 = assemble_blocks(
-        resid_y8,
-        resid_cb.reshape(nby, nbx, 8, 8),
-        resid_cr.reshape(nby, nbx, 8, 8),
-    )
-    q = tx.QSTEP[qp_mb][:, :, None, None, None]
-    coefs = tx.forward_transform(blocks6)
-    levels_zz = tx.zigzag(tx.quantize(coefs, q))
+def _code_plane(cur, pred, q_blk):
+    """Transform→quant→zigzag→recon of one plane (C9–C11, C14).
 
-    deq = tx.dequantize(tx.unzigzag(levels_zz), q)
-    resid_rec = tx.inverse_transform(deq)
-    yb, cbb, crb = scatter_blocks(resid_rec)
-    rec_y = jnp.clip(tx.unblockify(yb) + pred_y, 0, 255)
-    rec_cb = jnp.clip(tx.unblockify(cbb) + pred_cb, 0, 255)
-    rec_cr = jnp.clip(tx.unblockify(crb) + pred_cr, 0, 255)
-    return levels_zz, rec_y, rec_cb, rec_cr
+    q_blk: per-8x8-block quantizer steps [H/8, W/8]. Keeping planes separate
+    (instead of the blocks6 interleave) avoids ~3.5 ms/frame of XLA strided
+    scatters at 1080p; the per-MB piece order is restored at the word level
+    in entropy.pack_frame_planes.
+    """
+    resid = tx.blockify(cur - pred, spec.BLK)
+    q = q_blk[:, :, None, None]
+    coefs = tx.forward_transform(resid)
+    lz = tx.zigzag(tx.quantize(coefs, q))
+    deq = tx.dequantize(tx.unzigzag(lz), q)
+    rec = jnp.clip(tx.unblockify(tx.inverse_transform(deq)) + pred, 0, 255)
+    return lz, rec
+
+
+def _code_frame(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb):
+    """Shared transform→quant→zigzag→recon stages, per plane.
+
+    Returns ((lz_y8 [2nby,2nbx,64], lz_cb, lz_cr), rec_y, rec_cb, rec_cr)."""
+    qs = tx.QSTEP[qp_mb]
+    qy = jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1)
+    lz_y, rec_y = _code_plane(cur_y, pred_y, qy)
+    lz_cb, rec_cb = _code_plane(cur_cb, pred_cb, qs)
+    lz_cr, rec_cr = _code_plane(cur_cr, pred_cr, qs)
+    return (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr
 
 
 def _sse(a, b):
@@ -104,13 +106,13 @@ def encode_frame_traced(
     else:
         qp_mb = jnp.full((nby, nbx), base_qp, jnp.int32)
 
-    levels_zz, rec_y, rec_cb, rec_cr = _code_frame(
+    (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr = _code_frame(
         cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb
     )
 
-    words, total_bits, mb_bits, ovf_p = entropy.pack_frame_blocked(
-        levels_zz, qp_mb - base_qp, jnp.asarray(is_p), is_inter, dy, dx,
-        block_words, cap_words,
+    words, total_bits, mb_bits, ovf_p = entropy.pack_frame_planes(
+        lz_y, lz_cb, lz_cr, qp_mb - base_qp, jnp.asarray(is_p), is_inter,
+        dy, dx, block_words, cap_words,
     )
     sse = jnp.stack([_sse(cur_y, rec_y), _sse(cur_cb, rec_cb), _sse(cur_cr, rec_cr)])
     return dict(
