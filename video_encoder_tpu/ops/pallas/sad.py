@@ -164,68 +164,133 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
 
     Luma uses (16, 16, 4, 8); chroma (8, 8, 4, 16) — tile px = (tm*bs, tn*bs)
     with tn*bs a lane multiple (128).
+
+    Design: the per-block gather is done by two exact bf16 one-hot matmuls
+    instead of per-block vector rolls (which serialize into ~32 dependent
+    shuffle chains per tile, ~2.4+ ms/frame at 1080p). With blocks stacked
+    on the M axis in raster order s = (my*tn + mx)*bs + r:
+
+      T      = win @ CS        CS[c', (b,c)] = 1{c' == mx_b*bs + radius
+                                                       + c + dx_b}
+      out_p  = RowSel_p @ T_p  per 128-row panel p; RowSel[(b,r), y] =
+                               1{y == my_b*bs + radius + r + dy_b}
+
+    The diagonal bs×bs blocks of each [128, 128] panel are the predictors.
+    Pixels <= 255 are bf16-exact and the MXU accumulates in f32, so results
+    are bit-exact with the jnp fallback (ops/motion.py).
     """
     th, tw = tm * bs, tn * bs
     wh = th + 2 * radius
     wh = -(-wh // 8) * 8            # sublane-pad window height
     wwa = tw + 128                  # lane-aligned window width
-    assert tw % 128 == 0 and th % 8 == 0
+    nblk = tm * tn
+    nr = nblk * bs                  # block-stacked row count
+    npanel = nr // 128
+    bpp = 128 // bs                 # blocks per 128-row panel
+    assert tw % 128 == 0 and th % 8 == 0 and nr % 128 == 0
 
-    def block_at(rots, row, col):
-        # rows [row, row+bs) of the window are rows [0, bs) of the slice of
-        # copy r = row % 8 starting at the aligned offset row - r.
-        r = jax.lax.rem(row, 8)
-        q8 = pl.multiple_of(row - r, 8)
-        take = -(-(bs + 7) // 8) * 8
-        strip = rots[r, pl.ds(q8, take), :]
-        rolled = pltpu.roll(strip, (wwa - col) % wwa, 1)
-        return jax.lax.slice(rolled, (0, 0), (bs, bs))
+    def selectors(dy_ref, dx_ref):
+        """(RowSel [nr, wh] bf16, CS [wwa, nr] bf16) from per-tile mvs
+        delivered as [1, 1, 1, nblk] in block raster order."""
+        dyf = dy_ref[0, 0].astype(jnp.float32)  # [1, nblk]
+        dxf = dx_ref[0, 0].astype(jnp.float32)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (nr, nblk), 0)
+        bcol = jax.lax.broadcasted_iota(jnp.int32, (nr, nblk), 1)
+        rep = (bcol == srow // bs).astype(jnp.float32)  # [nr, nblk] one-hot
+        dyrep = jax.lax.dot_general(
+            rep, dyf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)                              # [nr, 1]
+        dxrep = jax.lax.dot_general(
+            rep, dxf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
 
-    def build_rots(win, rots):
-        w0 = win[:]
-        for r in range(8):
-            rots[r] = pltpu.roll(w0, (wh - r) % wh, 0)
+        s1 = jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0)
+        rowt = (s1 // (tn * bs)) * bs + s1 % bs + radius + dyrep
+        yrow = jax.lax.broadcasted_iota(jnp.int32, (nr, wh), 1)
+        rowsel = (yrow == rowt).astype(jnp.bfloat16)
 
-    def sad_kernel(refpad_hbm, cur_ref, dy_ref, dx_ref, out_ref, win, rots, sem):
+        cj = jax.lax.broadcasted_iota(jnp.int32, (wwa, nr), 1)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (wwa, nr), 0)
+        base = ((cj // bs) % tn) * bs + radius + cj % bs
+        ones_sub = jnp.ones((wwa, 1), jnp.float32)
+        dxcols = jax.lax.dot_general(   # broadcast dxrep across sublanes
+            ones_sub, dxrep.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        cs = (ci == base + dxcols).astype(jnp.bfloat16)
+        return rowsel, cs
+
+    def fetch_panels(win, dy_ref, dx_ref):
+        """Yield (panel index, [128, 128] f32) predictor panels."""
+        rowsel, cs = selectors(dy_ref, dx_ref)
+        t = jax.lax.dot_general(       # [wh, nr] f32, values <= 255
+            win[:].astype(jnp.bfloat16), cs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)         # <= 255: exact
+        for p in range(npanel):
+            rs_p = jax.lax.slice(rowsel, (p * 128, 0), ((p + 1) * 128, wh))
+            t_p = jax.lax.slice(t, (0, p * 128), (wh, (p + 1) * 128))
+            out_p = jax.lax.dot_general(
+                rs_p, t_p, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            yield p, out_p
+
+    def mc_kernel(refpad_hbm, dy_ref, dx_ref, out_ref, win, sem):
         i, j = pl.program_id(0), pl.program_id(1)
         dma = pltpu.make_async_copy(
             refpad_hbm.at[pl.ds(i * th, wh), pl.ds(j * tw, wwa)], win, sem
         )
         dma.start()
         dma.wait()
-        build_rots(win, rots)
+        for p, out_p in fetch_panels(win, dy_ref, dx_ref):
+            for k in range(bpp):
+                b = p * bpp + k
+                my, mx = b // tn, b % tn
+                blk = jax.lax.slice(
+                    out_p, (k * bs, k * bs), (k * bs + bs, k * bs + bs)
+                )
+                out_ref[my * bs : (my + 1) * bs, mx * bs : (mx + 1) * bs] = (
+                    blk.astype(jnp.int32)
+                )
+
+    def sad_kernel(refpad_hbm, cur_ref, dy_ref, dx_ref, out_ref, win, sem):
+        i, j = pl.program_id(0), pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            refpad_hbm.at[pl.ds(i * th, wh), pl.ds(j * tw, wwa)], win, sem
+        )
+        dma.start()
+        dma.wait()
         acc = jnp.zeros((tm, tn), jnp.int32)
-        for my in range(tm):
-            for mx in range(tn):
-                row = my * bs + dy_ref[0, 0, my, mx] + radius
-                col = mx * bs + dx_ref[0, 0, my, mx] + radius
-                cand = block_at(rots, row, col)
+        for p, out_p in fetch_panels(win, dy_ref, dx_ref):
+            for k in range(bpp):
+                b = p * bpp + k
+                my, mx = b // tn, b % tn
+                blk = jax.lax.slice(
+                    out_p, (k * bs, k * bs), (k * bs + bs, k * bs + bs)
+                ).astype(jnp.int32)
                 cblk = cur_ref[my * bs : (my + 1) * bs, mx * bs : (mx + 1) * bs]
                 onehot = (
                     (jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0) == my)
                     & (jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1) == mx)
                 ).astype(jnp.int32)
-                acc = acc + onehot * jnp.abs(cblk - cand).sum()
+                acc = acc + onehot * jnp.abs(cblk - blk).sum()
         out_ref[0, 0] = acc
 
-    def mc_kernel(refpad_hbm, dy_ref, dx_ref, out_ref, win, rots, sem):
-        i, j = pl.program_id(0), pl.program_id(1)
-        dma = pltpu.make_async_copy(
-            refpad_hbm.at[pl.ds(i * th, wh), pl.ds(j * tw, wwa)], win, sem
+    def to_flat(a, gy, gx):
+        """MB grid [gy, gx] -> [gy/tm, gx/tn, 1, nblk] raster-per-tile."""
+        return (
+            a.reshape(gy // tm, tm, gx // tn, tn)
+            .transpose(0, 2, 1, 3)
+            .reshape(gy // tm, gx // tn, 1, nblk)
         )
-        dma.start()
-        dma.wait()
-        build_rots(win, rots)
-        for my in range(tm):
-            for mx in range(tn):
-                row = my * bs + dy_ref[0, 0, my, mx] + radius
-                col = mx * bs + dx_ref[0, 0, my, mx] + radius
-                out_ref[my * bs : (my + 1) * bs, mx * bs : (mx + 1) * bs] = block_at(
-                    rots, row, col
-                )
 
-    def to_tiles(a, gy, gx):
-        return a.reshape(gy, tm, gx, tn).transpose(0, 2, 1, 3)
+    def flat_spec():
+        return pl.BlockSpec(
+            (1, 1, 1, nblk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        )
 
     def mb_spec():
         return pl.BlockSpec(
@@ -247,13 +312,13 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
             ((radius, wh - radius), (radius, wwa - tw - radius)),
             mode="edge",
         )
-        dy_p = to_tiles(jnp.pad(dy, ((0, gy - nby), (0, gx - nbx))), gy // tm, gx // tn)
-        dx_p = to_tiles(jnp.pad(dx, ((0, gy - nby), (0, gx - nbx))), gy // tm, gx // tn)
+        dy_p = to_flat(jnp.pad(dy, ((0, gy - nby), (0, gx - nbx))), gy, gx)
+        dx_p = to_flat(jnp.pad(dx, ((0, gy - nby), (0, gx - nbx))), gy, gx)
 
         if out_is_plane:
             out_spec = pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
             out_shape = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
-            in_specs = [pl.BlockSpec(memory_space=pl.ANY), mb_spec(), mb_spec()]
+            in_specs = [pl.BlockSpec(memory_space=pl.ANY), flat_spec(), flat_spec()]
             args = (refpad, dy_p, dx_p)
         else:
             out_spec = mb_spec()
@@ -261,8 +326,8 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
             in_specs = [
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-                mb_spec(),
-                mb_spec(),
+                flat_spec(),
+                flat_spec(),
             ]
             args = (refpad, cur_p, dy_p, dx_p)
 
@@ -274,7 +339,6 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((wh, wwa), jnp.int32),
-                pltpu.VMEM((8, wh, wwa), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ],
         )(*args)
