@@ -2,7 +2,8 @@
 (reference components C5–C8, SURVEY.md §2; SPEC.md §9).
 
 Design (see /opt/skills/guides/pallas_guide.md):
-- Grid tiles of 4×8 macroblocks (64×128 px — lane-aligned for int32).
+- Grid tiles of TMxTN macroblocks chosen per frame size (wide tiles, e.g.
+  8x32 MBs at 1080p, amortize window DMA and per-dy overheads).
 - The padded reference stays in HBM (pl.ANY); each grid step DMAs its
   96×160 halo window into VMEM scratch once, then the candidate loop is
   pure VPU work over VMEM (dynamic slices + abs-diff + per-MB reduction).
@@ -30,92 +31,121 @@ from ...codec import spec
 
 R = spec.SEARCH_R          # 16
 MB = spec.MB               # 16
-TM, TN = 4, 8              # MBs per tile
-TH, TW = TM * MB, TN * MB  # 64 x 128 px per tile
-WH, WW = TH + 2 * R, TW + 2 * R  # 96 x 160 logical window
-WWA = TW + 128                   # lane-aligned window width for DMA (256)
+ND = 2 * R + 1             # 33 shifts per axis
 
 
-def _mb_sums(x):
-    """[TH, TW] -> per-MB sums [TM, TN] (int32)."""
-    return x.reshape(TM, MB, TN, MB).sum(axis=(1, 3))
+def _make_full_search_kernel(TM: int, TN: int):
+    """Full-search kernel for a TM x TN-MB tile (TH x TW px)."""
+    TH, TW = TM * MB, TN * MB
+    WH, WW = TH + 2 * R, TW + 2 * R
+    WWA = TW + 128  # lane-aligned window width for DMA
 
+    def kernel(refpad_hbm, cur_ref, sad_ref, idx_ref, win, rots, diff, sem):
+        """One dy-row of candidates per loop step, reduced by ONE batched
+        matmul.
 
-def _to_tiles(a, gy, gx):
-    """[gy*TM, gx*TN] MB-array -> [gy, gx, TM, TN] (for (1,1,TM,TN) blocks)."""
-    return a.reshape(gy, TM, gx, TN).transpose(0, 2, 1, 3)
-
-
-def _from_tiles(a):
-    gy, gx = a.shape[:2]
-    return a.transpose(0, 2, 1, 3).reshape(gy * TM, gx * TN)
-
-
-def _mb_block_spec():
-    return pl.BlockSpec((1, 1, TM, TN), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
-
-
-ND = 2 * R + 1  # 33 shifts per axis
-
-
-def _full_search_kernel(refpad_hbm, cur_ref, sad_ref, idx_ref, win, rots, diff, sem):
-    """One dy-row of candidates per loop step, reduced by ONE batched matmul.
-
-    The naive shape (one [TH,TW]x[TW,TN] matmul per candidate) is MXU
-    latency-bound: ~49 ms/frame at 1080p. Batching all 33 dx diffs of a dy
-    into a single [ND*TH, TW] x [TW, TN] bf16 matmul (diffs <= 255 are exact
-    in bf16; the MXU accumulates in f32, so column sums <= 4080 are exact)
-    runs the same frame in ~9.6 ms. The running argmin is kept as a packed
-    key sad*2048 + candidate_index, whose minimum reproduces the spec's
-    strict-< row-major (dy, dx) first-occurrence tie-break exactly
-    (sad <= 65280 and index < 1089 so the key fits int32).
-    """
-    i, j = pl.program_id(0), pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        refpad_hbm.at[pl.ds(i * TH, WH), pl.ds(j * TW, WWA)], win, sem
-    )
-    dma.start()
-    cur = cur_ref[:].astype(jnp.bfloat16)
-    dma.wait()
-
-    # 8 row-rotated copies so any dy slice becomes sublane-aligned:
-    # rots[r][q*8 : q*8+TH] == win[q*8+r : q*8+r+TH]  for dy = 8q + r.
-    w0 = win[:]
-    for r in range(8):
-        rots[r] = pltpu.roll(w0, (WH - r) % WH, 0).astype(jnp.bfloat16)
-
-    # col-block reduction matrix [TW, TN] (0/1, exact in bf16)
-    colb = jax.lax.broadcasted_iota(jnp.int32, (TW, TN), 0) // MB
-    right = (colb == jax.lax.broadcasted_iota(jnp.int32, (TW, TN), 1)).astype(
-        jnp.bfloat16
-    )
-
-    def body(dy, best):
-        r = jax.lax.rem(dy, 8)
-        q8 = pl.multiple_of(dy - r, 8)
-        strip = rots[r, pl.ds(q8, TH), :]  # [TH, WWA] bf16
-        for dx in range(ND):  # static unroll: lane slices of a value
-            cand = jax.lax.slice(strip, (0, dx), (TH, dx + TW))
-            diff[dx] = jnp.abs(cur - cand)
-        d2 = diff[:].reshape(ND * TH, TW)
-        colsum = jax.lax.dot_general(  # [ND*TH, TN] f32, exact (<= 4080)
-            d2, right, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        The naive shape (one [TH,TW]x[TW,TN] matmul per candidate) is MXU
+        latency-bound: ~49 ms/frame at 1080p. Batching all 33 dx diffs of a
+        dy into a single [ND*TH, TW] x [TW, TN] bf16 matmul (diffs <= 255
+        are exact in bf16; the MXU accumulates in f32, so column sums
+        <= 4080 are exact) plus wide tiles (TN=32 amortizes the rots build
+        and slice overheads) runs the same frame in ~5.3 ms. The running
+        argmin is a packed key sad*2048 + candidate_index whose minimum
+        reproduces the spec's strict-< row-major (dy, dx) first-occurrence
+        tie-break exactly (sad <= 65280, index < 1089: the key fits int32).
+        """
+        i, j = pl.program_id(0), pl.program_id(1)
+        dma = pltpu.make_async_copy(
+            refpad_hbm.at[pl.ds(i * TH, WH), pl.ds(j * TW, WWA)], win, sem
         )
-        # 16-row sums per MB: f32 exact (<= 65280)
-        sad = jnp.sum(colsum.reshape(ND, TM, MB, TN), axis=2)
-        k = dy * ND + jax.lax.broadcasted_iota(jnp.int32, (ND, TM, TN), 0)
-        key = sad.astype(jnp.int32) * 2048 + k
-        return jnp.minimum(best, jnp.min(key, axis=0))
+        dma.start()
+        cur = cur_ref[:].astype(jnp.bfloat16)
+        dma.wait()
 
-    best = jax.lax.fori_loop(
-        0, ND, body, jnp.full((TM, TN), jnp.int32(2**31 - 1))
-    )
-    sad_ref[0, 0] = best >> 11
-    idx_ref[0, 0] = best & 2047
+        # 8 row-rotated copies so any dy slice becomes sublane-aligned:
+        # rots[r][q*8 : q*8+TH] == win[q*8+r : q*8+r+TH]  for dy = 8q + r.
+        w0 = win[:]
+        for r in range(8):
+            rots[r] = pltpu.roll(w0, (WH - r) % WH, 0).astype(jnp.bfloat16)
+
+        # col-block reduction matrix [TW, TN] (0/1, exact in bf16)
+        colb = jax.lax.broadcasted_iota(jnp.int32, (TW, TN), 0) // MB
+        right = (colb == jax.lax.broadcasted_iota(jnp.int32, (TW, TN), 1)).astype(
+            jnp.bfloat16
+        )
+
+        def body(dy, best):
+            r = jax.lax.rem(dy, 8)
+            q8 = pl.multiple_of(dy - r, 8)
+            strip = rots[r, pl.ds(q8, TH), :]  # [TH, WWA] bf16
+            for dx in range(ND):  # static unroll: lane slices of a value
+                cand = jax.lax.slice(strip, (0, dx), (TH, dx + TW))
+                diff[dx] = jnp.abs(cur - cand)
+            d2 = diff[:].reshape(ND * TH, TW)
+            colsum = jax.lax.dot_general(  # [ND*TH, TN] f32, exact (<= 4080)
+                d2, right, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # 16-row sums per MB: f32 exact (<= 65280)
+            sad = jnp.sum(colsum.reshape(ND, TM, MB, TN), axis=2)
+            k = dy * ND + jax.lax.broadcasted_iota(jnp.int32, (ND, TM, TN), 0)
+            key = sad.astype(jnp.int32) * 2048 + k
+            return jnp.minimum(best, jnp.min(key, axis=0))
+
+        best = jax.lax.fori_loop(
+            0, ND, body, jnp.full((TM, TN), jnp.int32(2**31 - 1))
+        )
+        sad_ref[0, 0] = best >> 11
+        idx_ref[0, 0] = best & 2047
+
+    return kernel, TH, TW, WH, WW, WWA
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _fs_tile_shape(nby: int, nbx: int) -> tuple[int, int]:
+    """Pick the MB-tile shape: wide tiles win (bigger matmuls, amortized
+    rots), bounded by grid size so small frames don't pad away the gain."""
+    tn = 32 if nbx >= 48 else (16 if nbx >= 16 else 8)
+    tm = 8 if nby >= 32 else 4
+    return tm, tn
+
+
+@functools.lru_cache(maxsize=8)
+def _full_search_call(nby: int, nbx: int):
+    TM, TN = _fs_tile_shape(nby, nbx)
+    kernel, TH, TW, WH, WW, WWA = _make_full_search_kernel(TM, TN)
+    gy = -(-nby // TM) * TM
+    gx = -(-nbx // TN) * TN
+
+    def mb_spec():
+        return pl.BlockSpec(
+            (1, 1, TM, TN), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    def call(cur_p, refpad):
+        return pl.pallas_call(
+            kernel,
+            grid=(gy // TM, gx // TN),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # refpad stays in HBM
+                pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[mb_spec(), mb_spec()],
+            out_shape=[
+                jax.ShapeDtypeStruct((gy // TM, gx // TN, TM, TN), jnp.int32),
+                jax.ShapeDtypeStruct((gy // TM, gx // TN, TM, TN), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((WH, WWA), jnp.int32),
+                pltpu.VMEM((8, WH, WWA), jnp.bfloat16),
+                pltpu.VMEM((ND, TH, TW), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(refpad, cur_p)
+
+    return call, TM, TN, gy, gx, WH, WW, WWA
+
+
+@jax.jit
 def full_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
     """Exhaustive ±16 SAD search on TPU. Same contract as motion.full_search.
 
@@ -123,36 +153,22 @@ def full_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
     """
     h, w = cur_y.shape
     nby, nbx = h // MB, w // MB
-    # pad the MB grid up to tile multiples (extra MBs discarded at the end)
-    gy = -(-nby // TM) * TM
-    gx = -(-nbx // TN) * TN
+    call, TM, TN, gy, gx, WH, WW, WWA = _full_search_call(nby, nbx)
+    TH, TW = TM * MB, TN * MB
     hp, wp = gy * MB, gx * MB
+    # pad the MB grid up to tile multiples (extra MBs discarded at the end)
     cur_p = jnp.pad(cur_y, ((0, hp - h), (0, wp - w)))
     ref_p = jnp.pad(ref_y, ((0, hp - h), (0, wp - w)), mode="edge")
     refpad = jnp.pad(ref_p, ((R, R), (R, R + (WWA - WW))), mode="edge")
 
-    sad, idx = pl.pallas_call(
-        _full_search_kernel,
-        grid=(gy // TM, gx // TN),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # refpad stays in HBM
-            pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[_mb_block_spec(), _mb_block_spec()],
-        out_shape=[
-            jax.ShapeDtypeStruct((gy // TM, gx // TN, TM, TN), jnp.int32),
-            jax.ShapeDtypeStruct((gy // TM, gx // TN, TM, TN), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((WH, WWA), jnp.int32),
-            pltpu.VMEM((8, WH, WWA), jnp.bfloat16),
-            pltpu.VMEM((ND, TH, TW), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(refpad, cur_p)
+    sad, idx = call(cur_p, refpad)
 
-    sad = _from_tiles(sad)[:nby, :nbx]
-    idx = _from_tiles(idx)[:nby, :nbx]
+    def from_tiles(a):
+        g1, g2 = a.shape[:2]
+        return a.transpose(0, 2, 1, 3).reshape(g1 * TM, g2 * TN)
+
+    sad = from_tiles(sad)[:nby, :nbx]
+    idx = from_tiles(idx)[:nby, :nbx]
     dy = idx // ND - R
     dx = idx % ND - R
     return dy, dx, sad
@@ -357,5 +373,5 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
     return sad_at, mc_fetch
 
 
-sad_at_mv, mc_fetch_plane = make_mc_kernels(MB, R, TM, TN)
+sad_at_mv, mc_fetch_plane = make_mc_kernels(MB, R, 4, 8)
 sad_at_mv_chroma, mc_fetch_plane_chroma = make_mc_kernels(spec.BLK, spec.BLK, 4, 16)
