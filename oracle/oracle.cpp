@@ -22,6 +22,8 @@
 #include <string>
 #include <vector>
 #include <chrono>
+#include <thread>
+#include <atomic>
 #include <cmath>
 
 // ---------------------------------------------------------------- tables --
@@ -138,17 +140,23 @@ struct BitReader {
   uint64_t nbits, pos = 0;
   BitReader(const uint8_t* d, uint64_t n) : data(d), nbits(n) {}
   uint32_t get(int len) {
+    // Bounds-safe: bits past nbits read as 1 (so get_ue's zero-scan always
+    // terminates on truncated/corrupt payloads) and pos runs past nbits,
+    // which every parse loop checks and reports as a corrupt stream.
     uint32_t v = 0;
     for (int i = 0; i < len; i++) {
       uint64_t p = pos + i;
-      v = (v << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1);
+      uint32_t bit = p < nbits ? ((data[p >> 3] >> (7 - (p & 7))) & 1) : 1u;
+      v = (v << 1) | bit;
     }
     pos += len;
     return v;
   }
   uint32_t get_ue() {
     int zeros = 0;
-    while (get(1) == 0) zeros++;
+    while (get(1) == 0) {
+      if (++zeros > 31) { pos = nbits + 1; return 0; }  // corrupt: poison pos
+    }
     return ((1u << zeros) | get(zeros)) - 1;
   }
   int32_t get_se() {
@@ -385,13 +393,16 @@ static void decode_frame(int w, int h, bool is_p, int base_qp,
         if (mode == 0) { inter = true; dx = br.get_se(); dy = br.get_se(); }
       }
       int qp = base_qp + br.get_se();
+      if (qp < 1 || qp > 63) qp = qp < 1 ? 1 : 63;  // corrupt-stream clamp
       int32_t qs = QSTEP[qp];
       for (int b = 0; b < 6; b++) {
         int32_t zz[64] = {0};
         if (br.get(1)) {
           int nnz = br.get_ue() + 1, pos = -1;
+          if (nnz > 64) nnz = 64;  // corrupt-stream clamp
           for (int t = 0; t < nnz; t++) {
             pos += br.get_ue() + 1;
+            if (pos >= 64 || br.pos > br.nbits) break;  // corrupt stream
             zz[pos] = br.get_se();
           }
         }
@@ -431,6 +442,90 @@ static void decode_frame(int w, int h, bool is_p, int base_qp,
 
 extern "C" {
 
+// Parse one frame's payload into PER-PLANE int16 level arrays, matching the
+// device GOP decoder's layout (pipeline/decoder.py decode_gop_jit):
+//   ly:  [2*nby, 2*nbx, 64]  luma 8x8 blocks, raster order
+//   lcb: [nby, nbx, 64], lcr: [nby, nbx, 64]
+//   mvs: [nby*nbx*2] (dy, dx), inter/qps: [nby*nbx]
+// Caller provides zeroed buffers. int16 halves the host->device upload
+// (levels are <= 2047). Returns 0 on success.
+int tvc_parse_frame_planes(const uint8_t* payload, uint64_t nbits, int is_p,
+                           int base_qp, int nby, int nbx, int16_t* ly,
+                           int16_t* lcb, int16_t* lcr, int32_t* mvs,
+                           uint8_t* inter, int32_t* qps) {
+  BitReader br(payload, nbits);
+  for (int m = 0; m < nby * nbx; m++) {
+    int my = m / nbx, mx = m % nbx;
+    bool mb_inter = false;
+    int dy = 0, dx = 0;
+    if (is_p) {
+      if (br.get_ue() == 0) { mb_inter = true; dx = br.get_se(); dy = br.get_se(); }
+    }
+    int qp = base_qp + br.get_se();
+    qps[m] = qp < 1 ? 1 : (qp > 63 ? 63 : qp);  // corrupt-stream clamp
+    if (dy < -16 || dy > 16 || dx < -16 || dx > 16) return 3;
+    inter[m] = mb_inter;
+    mvs[2 * m] = dy;
+    mvs[2 * m + 1] = dx;
+    for (int b = 0; b < 6; b++) {
+      int16_t* dst;
+      if (b < 4) {
+        int by = 2 * my + (b >> 1), bx = 2 * mx + (b & 1);
+        dst = ly + ((size_t)by * (2 * nbx) + bx) * 64;
+      } else {
+        dst = (b == 4 ? lcb : lcr) + (size_t)m * 64;
+      }
+      if (!br.get(1)) continue;
+      int nnz = br.get_ue() + 1, pos = -1;
+      for (int t = 0; t < nnz; t++) {
+        pos += br.get_ue() + 1;
+        if (pos >= 64) return 1;  // corrupt stream
+        dst[pos] = (int16_t)br.get_se();
+      }
+    }
+    if (br.pos > nbits) return 2;
+  }
+  return 0;
+}
+
+// Threaded whole-GOP parse: frame payloads are independent bit streams
+// (the per-frame analogue of the reference's threaded demux stage), so a
+// GOP parses embarrassingly parallel across std::threads. Arrays are the
+// [T, ...]-stacked versions of tvc_parse_frame_planes' outputs.
+// blob: concatenated payloads; offsets[t]: byte offset of frame t (T+1
+// entries); nbits[t]: payload bit length. Returns 0 or first error code.
+int tvc_parse_gop_planes(const uint8_t* blob, const uint64_t* offsets,
+                         const uint64_t* nbits, const uint8_t* is_p,
+                         const int32_t* base_qp, int T, int nby, int nbx,
+                         int16_t* ly, int16_t* lcb, int16_t* lcr,
+                         int32_t* mvs, uint8_t* inter, int32_t* qps,
+                         int nthreads) {
+  size_t n = (size_t)nby * nbx;
+  size_t ly_st = 4 * n * 64, lc_st = n * 64;
+  std::vector<int> rcs(T, 0);
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int t = next.fetch_add(1);
+      if (t >= T) return;
+      rcs[t] = tvc_parse_frame_planes(
+          blob + offsets[t], nbits[t], is_p[t], base_qp[t], nby, nbx,
+          ly + (size_t)t * ly_st, lcb + (size_t)t * lc_st,
+          lcr + (size_t)t * lc_st, mvs + (size_t)t * n * 2,
+          inter + (size_t)t * n, qps + (size_t)t * n);
+    }
+  };
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > T) nthreads = T;
+  std::vector<std::thread> threads;
+  for (int i = 1; i < nthreads; i++) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < T; t++)
+    if (rcs[t] != 0) return rcs[t];
+  return 0;
+}
+
 // Parse one frame's payload into per-MB arrays. levels_zz: [nby*nbx*6*64],
 // mvs: [nby*nbx*2] (dy, dx), inter: [nby*nbx], qps: [nby*nbx].
 // Returns 0 on success.
@@ -445,7 +540,9 @@ int tvc_parse_frame(const uint8_t* payload, uint64_t nbits, int is_p,
     if (is_p) {
       if (br.get_ue() == 0) { mb_inter = true; dx = br.get_se(); dy = br.get_se(); }
     }
-    qps[m] = base_qp + br.get_se();
+    int qp = base_qp + br.get_se();
+    qps[m] = qp < 1 ? 1 : (qp > 63 ? 63 : qp);  // corrupt-stream clamp
+    if (dy < -16 || dy > 16 || dx < -16 || dx > 16) return 3;
     inter[m] = mb_inter;
     mvs[2 * m] = dy;
     mvs[2 * m + 1] = dx;
@@ -487,8 +584,8 @@ int tvc_decode_stream(const uint8_t* data, int64_t size, uint8_t* out,
     int base_qp = data[off + 1];
     uint32_t pbits = get_le32(&data[off + 4]);
     off += 8;
-    size_t nbytes = ((pbits + 31) / 32) * 4;
-    if (off + nbytes > (size_t)size) return -3;
+    size_t nbytes = (((uint64_t)pbits + 31) / 32) * 4;  // 64-bit: no wrap
+    if (nbytes > (size_t)size || off + nbytes > (size_t)size) return -3;
     decode_frame(w, h, ftype == 1, base_qp, &data[off], pbits, ry, rcb, rcr);
     off += nbytes;
     uint8_t* o = out + fsz * i;

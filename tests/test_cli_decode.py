@@ -94,3 +94,39 @@ def test_native_parse_matches_golden(rng):
     assert np.array_equal(dec.y, res.recon.y)
     assert qps.min() >= 1 and qps.max() <= 63
     assert np.abs(np.stack([dy, dx])).max() <= 16
+
+
+def test_gop_device_decode_bit_exact(rng):
+    """GopDecodeEngine (C++ per-plane parse + one-scan device recon) matches
+    the golden decoder bit-for-bit across GOP boundaries."""
+    import io
+
+    from video_encoder_tpu.codec import native
+    from video_encoder_tpu.codec.config import EncoderConfig
+    from video_encoder_tpu.pipeline import decoder, encoder
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+
+    w, h, n = 96, 64, 7
+    base = rng.integers(0, 256, (h + 32, w + 32)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    raw = []
+    for t in range(n):
+        y = base[2 * t : 2 * t + h, 3 * t : 3 * t + w].astype(np.uint8)
+        cb = rng.integers(100, 140, (h // 2, w // 2)).astype(np.uint8)
+        cr = rng.integers(100, 140, (h // 2, w // 2)).astype(np.uint8)
+        raw.append((y, cb, cr))
+
+    cfg = EncoderConfig(width=w, height=h, gop_n=3, base_qp=20, search="full")
+    out = io.BytesIO()
+    encoder.encode_clip(cfg, iter(raw), out, n)
+    data = out.getvalue()
+
+    _, g = decoder.decode_clip(io.BytesIO(data))
+    _, d = decoder.decode_clip_gop(io.BytesIO(data))
+    golden_frames, gop_frames = list(g), list(d)
+    assert len(golden_frames) == len(gop_frames) == n
+    for a, b in zip(golden_frames, gop_frames):
+        for pa, pb in zip(a, b):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb))

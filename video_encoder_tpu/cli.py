@@ -120,6 +120,8 @@ def cmd_decode(a) -> int:
                 a.engine = "golden"
         if a.engine == "native":
             info, frames = decoder.decode_clip_native(fi)
+        elif a.engine == "gop":
+            info, frames = decoder.decode_clip_gop(fi)
         elif a.engine == "device":
             info, frames = decoder.decode_clip(fi, decoder.DeviceDecodeEngine())
         else:
@@ -195,7 +197,7 @@ def main(argv=None) -> int:
     d = sub.add_parser("decode", help="TVC1 -> raw YUV")
     d.add_argument("-i", "--input", required=True)
     d.add_argument("-o", "--output", required=True)
-    d.add_argument("--engine", choices=["native", "device", "golden"], default="native")
+    d.add_argument("--engine", choices=["native", "gop", "device", "golden"], default="native")
     d.set_defaults(fn=cmd_decode)
 
     inf = sub.add_parser("info", help="dump stream header")

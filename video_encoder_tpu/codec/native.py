@@ -46,6 +46,25 @@ def _load():
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
+    lib.tvc_parse_gop_planes.restype = ctypes.c_int
+    lib.tvc_parse_gop_planes.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+    ]
+    lib.tvc_parse_frame_planes.restype = ctypes.c_int
+    lib.tvc_parse_frame_planes.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return lib
 
@@ -83,6 +102,93 @@ def parse_frame(payload: bytes, nbits: int, is_p: bool, base_qp: int, nby: int, 
         mvs[:, :, 1],
         inter.reshape(nby, nbx).astype(bool),
         qps.reshape(nby, nbx),
+    )
+
+
+def parse_frame_planes(
+    payload: bytes, nbits: int, is_p: bool, base_qp: int, nby: int, nbx: int
+):
+    """Entropy-decode one frame payload into the per-plane int16 layout the
+    device GOP decoder consumes: (ly [2nby,2nbx,64] i16, lcb, lcr
+    [nby,nbx,64] i16, dy, dx, is_inter, qp_mb)."""
+    lib = _load()
+    n = nby * nbx
+    ly = np.zeros((2 * nby, 2 * nbx, 64), dtype=np.int16)
+    lcb = np.zeros((nby, nbx, 64), dtype=np.int16)
+    lcr = np.zeros((nby, nbx, 64), dtype=np.int16)
+    mvs = np.zeros(n * 2, dtype=np.int32)
+    inter = np.zeros(n, dtype=np.uint8)
+    qps = np.zeros(n, dtype=np.int32)
+    rc = lib.tvc_parse_frame_planes(
+        payload, nbits, int(is_p), base_qp, nby, nbx,
+        ly.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        lcb.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        lcr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        mvs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        qps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt TVC1 frame payload (code {rc})")
+    mvs = mvs.reshape(nby, nbx, 2)
+    return (
+        ly, lcb, lcr, mvs[:, :, 0], mvs[:, :, 1],
+        inter.reshape(nby, nbx).astype(bool), qps.reshape(nby, nbx),
+    )
+
+
+def parse_gop_planes(
+    payloads: list[bytes],
+    nbits: list[int],
+    is_p: list[bool],
+    base_qp: list[int],
+    nby: int,
+    nbx: int,
+    nthreads: int = 0,
+):
+    """Threaded entropy decode of a whole GOP (frame payloads parse
+    independently — the reference's threaded demux stage done natively).
+    Returns [T, ...]-stacked per-plane arrays matching parse_frame_planes."""
+    lib = _load()
+    t_frames = len(payloads)
+    n = nby * nbx
+    blob = b"".join(payloads)
+    offs = np.zeros(t_frames + 1, dtype=np.uint64)
+    np.cumsum([len(p) for p in payloads], out=offs[1:])
+    nb = np.asarray(nbits, dtype=np.uint64)
+    isp = np.asarray(is_p, dtype=np.uint8)
+    bqp = np.asarray(base_qp, dtype=np.int32)
+    ly = np.zeros((t_frames, 2 * nby, 2 * nbx, 64), dtype=np.int16)
+    lcb = np.zeros((t_frames, nby, nbx, 64), dtype=np.int16)
+    lcr = np.zeros((t_frames, nby, nbx, 64), dtype=np.int16)
+    mvs = np.zeros((t_frames, n, 2), dtype=np.int32)
+    inter = np.zeros((t_frames, n), dtype=np.uint8)
+    qps = np.zeros((t_frames, n), dtype=np.int32)
+    if nthreads <= 0:
+        nthreads = min(t_frames, os.cpu_count() or 1)
+    rc = lib.tvc_parse_gop_planes(
+        blob,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        nb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        isp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        bqp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t_frames, nby, nbx,
+        ly.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        lcb.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        lcr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        mvs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        inter.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        qps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nthreads,
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt TVC1 frame payload in GOP (code {rc})")
+    return (
+        ly, lcb, lcr,
+        mvs[:, :, 0].reshape(t_frames, nby, nbx),
+        mvs[:, :, 1].reshape(t_frames, nby, nbx),
+        inter.reshape(t_frames, nby, nbx).astype(bool),
+        qps.reshape(t_frames, nby, nbx),
     )
 
 

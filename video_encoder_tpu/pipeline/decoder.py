@@ -103,6 +103,134 @@ class DeviceDecodeEngine:
         return Frame(np.asarray(ry), np.asarray(rcb), np.asarray(rcr))
 
 
+def _decode_gop_jit():
+    """Build the jitted whole-GOP device decoder (lazy: keeps jax out of the
+    golden/native import path)."""
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import dispatch
+    from ..ops import transform as tx
+
+    @jax.jit
+    def decode_gop(ly, lcb, lcr, dy, dx, inter, qp):
+        """Reconstruct a [T, ...] GOP on device in one lax.scan program —
+        the decode mirror of gop_engine.encode_gop_jit. Frame 0 is the I
+        frame (its `inter` mask is all-False, so the MC path is masked off
+        and no real reference is needed); later frames chain through the
+        carried reconstruction, bit-exact with the encoder recon loop.
+
+        ly: [T, 2nby, 2nbx, 64] int16; lcb/lcr: [T, nby, nbx, 64] int16;
+        dy/dx/qp: [T, nby, nbx] int32; inter: [T, nby, nbx] bool.
+        Returns uint8 planes ([T,H,W], [T,H/2,W/2] x2).
+        """
+        t_frames, by8, bx8, _ = ly.shape
+        hp, wp = by8 * 8, bx8 * 8
+
+        def recon_plane(lz, pred, q_blk):
+            deq = tx.dequantize(tx.unzigzag(lz), q_blk[:, :, None, None])
+            rec = tx.unblockify(tx.inverse_transform(deq)) + pred
+            return jnp.clip(rec, 0, 255)
+
+        def body(carry, xs):
+            ref_y, ref_cb, ref_cr = carry
+            dy_f, dx_f, inter_f, qp_f = xs["dy"], xs["dx"], xs["inter"], xs["qp"]
+            m_y = jnp.repeat(jnp.repeat(inter_f, spec.MB, 0), spec.MB, 1)
+            m_c = jnp.repeat(jnp.repeat(inter_f, spec.BLK, 0), spec.BLK, 1)
+            pred_y = jnp.where(
+                m_y, dispatch.mc_fetch_luma_plane(ref_y, dy_f, dx_f), 128
+            )
+            pred_cb = jnp.where(
+                m_c, dispatch.mc_fetch_chroma_plane(ref_cb, dy_f >> 1, dx_f >> 1), 128
+            )
+            pred_cr = jnp.where(
+                m_c, dispatch.mc_fetch_chroma_plane(ref_cr, dy_f >> 1, dx_f >> 1), 128
+            )
+            qs = tx.QSTEP[qp_f]
+            qy = jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1)
+            rec_y = recon_plane(xs["ly"].astype(jnp.int32), pred_y, qy)
+            rec_cb = recon_plane(xs["lcb"].astype(jnp.int32), pred_cb, qs)
+            rec_cr = recon_plane(xs["lcr"].astype(jnp.int32), pred_cr, qs)
+            out = (
+                rec_y.astype(jnp.uint8),
+                rec_cb.astype(jnp.uint8),
+                rec_cr.astype(jnp.uint8),
+            )
+            return (rec_y, rec_cb, rec_cr), out
+
+        init = (
+            jnp.zeros((hp, wp), jnp.int32),
+            jnp.zeros((hp // 2, wp // 2), jnp.int32),
+            jnp.zeros((hp // 2, wp // 2), jnp.int32),
+        )
+        xs = dict(ly=ly, lcb=lcb, lcr=lcr, dy=dy, dx=dx, inter=inter, qp=qp)
+        _, outs = jax.lax.scan(body, init, xs)
+        return outs
+
+    return decode_gop
+
+
+class GopDecodeEngine:
+    """Whole-GOP device decode: C++ entropy parse per frame on the host
+    (int16 per-plane layout, half the upload), then ONE jitted lax.scan
+    program reconstructs the entire GOP on device — no per-frame host
+    round-trips (the decode mirror of GopEngine)."""
+
+    def __init__(self):
+        from ..codec import native
+
+        self._native = native
+        native._load()
+        self._jit = _decode_gop_jit()
+
+    def decode_gop(self, width: int, height: int, packets) -> list[Frame]:
+        """packets: one GOP (first packet is the I frame)."""
+        import jax.numpy as jnp
+
+        hp, wp = spec.ceil_to(height, spec.MB), spec.ceil_to(width, spec.MB)
+        nby, nbx = hp // spec.MB, wp // spec.MB
+        ly, lcb, lcr, dy, dx, inter, qps = self._native.parse_gop_planes(
+            [p.payload for p in packets],
+            [p.payload_bits for p in packets],
+            [p.frame_type == 1 for p in packets],
+            [p.base_qp for p in packets],
+            nby, nbx,
+        )
+        ry, rcb, rcr = self._jit(
+            jnp.asarray(ly), jnp.asarray(lcb), jnp.asarray(lcr),
+            jnp.asarray(dy), jnp.asarray(dx), jnp.asarray(inter),
+            jnp.asarray(qps),
+        )
+        ry = np.asarray(ry).astype(np.int32)
+        rcb = np.asarray(rcb).astype(np.int32)
+        rcr = np.asarray(rcr).astype(np.int32)
+        return [Frame(ry[t], rcb[t], rcr[t]) for t in range(len(packets))]
+
+
+def decode_clip_gop(
+    f: BinaryIO, engine: "GopDecodeEngine | None" = None
+) -> tuple[bitstream.StreamInfo, Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]]:
+    """Decode a TVC1 stream GOP-at-a-time on device (GopDecodeEngine)."""
+    engine = engine or GopDecodeEngine()
+    info, packets = bitstream.demux(f)
+
+    def frames():
+        gop: list = []
+        for pkt in packets:
+            if pkt.frame_type == 0 and gop:
+                for rec in engine.decode_gop(info.width, info.height, gop):
+                    yield rec.crop(info.width, info.height)
+                gop = []
+            gop.append(pkt)
+        if gop:
+            for rec in engine.decode_gop(info.width, info.height, gop):
+                yield rec.crop(info.width, info.height)
+
+    return info, frames()
+
+
 def decode_clip(
     f: BinaryIO, engine=None
 ) -> tuple[bitstream.StreamInfo, Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]]:
