@@ -123,6 +123,34 @@ def test_ring_pipeline_equals_single(rng):
         ), f"stream {s} mismatch"
 
 
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 fake devices")
+def test_ring_pipeline_unequal_streams(rng):
+    """Drain/fill generalization: 3 streams of lengths 3/2/1 on a 4-device
+    ring produce exactly the packets of per-stream single-device encodes."""
+    from video_encoder_tpu.parallel.ring import RingEncoder
+    from video_encoder_tpu.pipeline.gop_engine import GopEngine
+
+    d, h, w = 4, 32, 48
+    lens = [3, 2, 1]
+    cfg = EncoderConfig(width=w, height=h, gop_n=3, base_qp=30, search="full")
+    streams = []
+    for s, t in enumerate(lens):
+        clip = make_clip(rng, w, h, t)
+        streams.append([golden.Frame.from_planes(*f) for f in clip])
+
+    eng = GopEngine(cfg)
+    ref = [eng.encode_gop(streams[s], s * 10)[0] for s in range(len(lens))]
+
+    mesh = Mesh(np.array(jax.devices()[:d]), ("ring",))
+    ring = RingEncoder(cfg, mesh)
+    got = ring.encode_streams(streams, [s * 10 for s in range(len(lens))])
+    assert [len(g) for g in got] == lens
+    for s in range(len(lens)):
+        assert all(
+            a.to_bytes() == b.to_bytes() for a, b in zip(ref[s], got[s])
+        ), f"stream {s} mismatch"
+
+
 def test_stage_timer_and_eventlog():
     import io as _io
     import time

@@ -106,11 +106,25 @@ class RingEncoder:
     def encode_streams(
         self, streams: list[list[Frame]], first_indices: list[int]
     ) -> list[list[FramePacket]]:
-        """streams: D streams × T frames. Returns packets per stream."""
+        """streams: up to D streams of any (nonzero) lengths.
+
+        Drain/fill generalization: shorter streams are padded with repeats
+        of their last frame up to the longest length, and missing streams
+        with a dummy stream; padded slots ride the ring like real work but
+        their packets are dropped on the host. Per-stream outputs stay
+        byte-identical to a single-device encode because streams are
+        independent and padding follows each stream's real frames (RC state
+        only flows forward within a stream)."""
         cfg = self.cfg
         d = self.d
-        assert len(streams) == d
-        t = len(streams[0])
+        assert 0 < len(streams) <= d
+        real_t = [len(s) for s in streams]
+        n_real = len(streams)
+        t = max(real_t)
+        streams = [s + [s[-1]] * (t - len(s)) for s in streams]
+        while len(streams) < d:
+            streams.append([streams[0][0]] * t)
+            first_indices = list(first_indices) + [0]
         h, w = streams[0][0].y.shape
         n_mbs = (h // spec.MB) * (w // spec.MB)
 
@@ -135,10 +149,12 @@ class RingEncoder:
         bits = np.asarray(outs["bits"])      # [T, D]
         words = np.asarray(outs["words"])    # [T, D, cap]
 
-        packets: list[list[FramePacket]] = [[] for _ in range(d)]
+        packets: list[list[FramePacket]] = [[] for _ in range(n_real)]
         for m in range(t):
             for dev in range(d):
                 s = (dev - m) % d
+                if s >= n_real or m >= real_t[s]:
+                    continue  # padded slot: drop
                 nw = (int(bits[m, dev]) + 31) // 32
                 payload = words[m, dev, :nw].astype(">u4").tobytes()
                 packets[s].append(
