@@ -202,6 +202,8 @@ struct Config {
   bool diamond;
   int rc;  // 0 none, 1 adaptive, 2 bitrate
   int target_bits;
+  int fmt = 1;   // bitstream format (SPEC.md §8 v1 / §12 v2)
+  int cqpo = 0;  // v2 chroma QP offset
 };
 
 static int64_t sad16(const Plane& cur, const Plane& ref, int my, int mx, int dy, int dx) {
@@ -231,6 +233,9 @@ static void encode_frame(const Config& cfg, bool is_p,
   int nby = cy.h / 16, nbx = cy.w / 16;
   std::vector<MB> mbs((size_t)nby * nbx);
   Plane ref_y = ry, ref_cb = rcb, ref_cr = rcr;
+  // v2 DC DPCM grids (SPEC.md §12.4): quantized DC level per plane block
+  std::vector<int32_t> dcy((size_t)4 * nby * nbx, 0);
+  std::vector<int32_t> dcc0((size_t)nby * nbx, 0), dcc1((size_t)nby * nbx, 0);
 
   BitWriter bw;
   for (int my = 0; my < nby; my++)
@@ -305,6 +310,9 @@ static void encode_frame(const Config& cfg, bool is_p,
         mb.qp = base_qp;
       }
       int32_t qs = QSTEP[mb.qp];
+      int qpc = mb.qp + (cfg.fmt >= 2 ? cfg.cqpo : 0);
+      if (qpc < 1) qpc = 1; if (qpc > 63) qpc = 63;
+      int32_t qsc = QSTEP[qpc];  // v2 chroma step (== qs for v1)
 
       // 6 blocks: residual -> transform -> quant -> zigzag; recon in place
       for (int b = 0; b < 6; b++) {
@@ -330,10 +338,11 @@ static void encode_frame(const Config& cfg, bool is_p,
             resid[i * 8 + j] = cp->at(oy + i, ox + j) - p;
           }
         fwd_tx(resid, coef);
+        int32_t qb = b < 4 ? qs : qsc;
         int32_t lv[64];
-        for (int i = 0; i < 64; i++) lv[i] = quant1(coef[i], qs);
+        for (int i = 0; i < 64; i++) lv[i] = quant1(coef[i], qb);
         for (int k = 0; k < 64; k++) mb.zz[b][k] = lv[ZIGZAG[k]];
-        for (int i = 0; i < 64; i++) deq[i] = lv[i] * qs;
+        for (int i = 0; i < 64; i++) deq[i] = lv[i] * qb;
         inv_tx(deq, rec);
         for (int i = 0; i < 8; i++)
           for (int j = 0; j < 8; j++) {
@@ -342,13 +351,50 @@ static void encode_frame(const Config& cfg, bool is_p,
           }
       }
 
-      // entropy (SPEC.md §7)
+      // entropy (SPEC.md §7 v1 / §12.5 v2)
       if (is_p) {
         bw.put_ue(mb.inter ? 0 : 1);
-        if (mb.inter) { bw.put_se(mb.dx); bw.put_se(mb.dy); }
+        if (mb.inter) {
+          int pdx = 0, pdy = 0;
+          if (cfg.fmt >= 2 && mx > 0) {
+            const MB& lmb = mbs[(size_t)my * nbx + mx - 1];
+            if (lmb.inter) { pdx = lmb.dx; pdy = lmb.dy; }
+          }
+          bw.put_se(mb.dx - pdx);
+          bw.put_se(mb.dy - pdy);
+        }
       }
       bw.put_se(mb.qp - base_qp);
       for (int b = 0; b < 6; b++) {
+        if (cfg.fmt >= 2) {
+          // v2: cbf, se(dcd), ue(nnz_ac), AC runs from zigzag position 1
+          int32_t dc = mb.zz[b][0];
+          int nnz_ac = 0;
+          for (int k = 1; k < 64; k++) nnz_ac += mb.zz[b][k] != 0;
+          // update the DC grids with this block's final DC level
+          int32_t pdc = 0;
+          if (b < 4) {
+            int by = 2 * my + (b >> 1), bx = 2 * mx + (b & 1);
+            if (bx > 0) pdc = dcy[(size_t)by * 2 * nbx + bx - 1];
+            dcy[(size_t)by * 2 * nbx + bx] = dc;
+          } else {
+            std::vector<int32_t>& g = (b == 4) ? dcc0 : dcc1;
+            if (mx > 0) pdc = g[(size_t)my * nbx + mx - 1];
+            g[(size_t)my * nbx + mx] = dc;
+          }
+          if (dc == 0 && nnz_ac == 0) { bw.put(0, 1); continue; }
+          bw.put(1, 1);
+          bw.put_se(dc - pdc);
+          bw.put_ue(nnz_ac);
+          int prev = 0;
+          for (int k = 1; k < 64; k++)
+            if (mb.zz[b][k]) {
+              bw.put_ue(k - prev - 1);
+              bw.put_se(mb.zz[b][k]);
+              prev = k;
+            }
+          continue;
+        }
         int nnz = 0;
         for (int k = 0; k < 64; k++) nnz += mb.zz[b][k] != 0;
         if (!nnz) { bw.put(0, 1); continue; }
@@ -379,10 +425,16 @@ static void encode_frame(const Config& cfg, bool is_p,
 // --------------------------------------------------------------- decoder ---
 static void decode_frame(int w, int h, bool is_p, int base_qp,
                          const uint8_t* payload, uint64_t nbits,
-                         Plane& ry, Plane& rcb, Plane& rcr) {
+                         Plane& ry, Plane& rcb, Plane& rcr,
+                         int version = 1, int cqpo = 0) {
   int wp = (w + 15) / 16 * 16, hp = (h + 15) / 16 * 16;
   int nby = hp / 16, nbx = wp / 16;
   Plane ref_y = ry, ref_cb = rcb, ref_cr = rcr;
+  // v2 prediction state (SPEC.md §12.3-12.4)
+  std::vector<int32_t> dcy((size_t)4 * nby * nbx, 0);
+  std::vector<int32_t> dcc0((size_t)nby * nbx, 0), dcc1((size_t)nby * nbx, 0);
+  std::vector<int32_t> mvrow_dx(nbx, 0), mvrow_dy(nbx, 0);
+  std::vector<uint8_t> mvrow_inter(nbx, 0);
   BitReader br(payload, nbits);
   for (int my = 0; my < nby; my++)
     for (int mx = 0; mx < nbx; mx++) {
@@ -390,14 +442,46 @@ static void decode_frame(int w, int h, bool is_p, int base_qp,
       int dy = 0, dx = 0;
       if (is_p) {
         uint32_t mode = br.get_ue();
-        if (mode == 0) { inter = true; dx = br.get_se(); dy = br.get_se(); }
+        if (mode == 0) {
+          inter = true; dx = br.get_se(); dy = br.get_se();
+          if (version >= 2 && mx > 0 && mvrow_inter[mx - 1]) {
+            dx += mvrow_dx[mx - 1];
+            dy += mvrow_dy[mx - 1];
+          }
+        }
+        mvrow_inter[mx] = inter;
+        mvrow_dx[mx] = dx;
+        mvrow_dy[mx] = dy;
       }
       int qp = base_qp + br.get_se();
       if (qp < 1 || qp > 63) qp = qp < 1 ? 1 : 63;  // corrupt-stream clamp
-      int32_t qs = QSTEP[qp];
+      int qpc = qp + (version >= 2 ? cqpo : 0);
+      if (qpc < 1) qpc = 1; if (qpc > 63) qpc = 63;
       for (int b = 0; b < 6; b++) {
+        int32_t qs = QSTEP[b < 4 ? qp : qpc];
         int32_t zz[64] = {0};
-        if (br.get(1)) {
+        if (version >= 2) {
+          int32_t pdc = 0;
+          int by = 0, bx = 0;
+          if (b < 4) {
+            by = 2 * my + (b >> 1); bx = 2 * mx + (b & 1);
+            if (bx > 0) pdc = dcy[(size_t)by * 2 * nbx + bx - 1];
+          } else if (mx > 0) {
+            pdc = (b == 4 ? dcc0 : dcc1)[(size_t)my * nbx + mx - 1];
+          }
+          if (br.get(1)) {
+            zz[0] = pdc + br.get_se();
+            int nnz_ac = br.get_ue(), pos = 0;
+            if (nnz_ac > 63) nnz_ac = 63;  // corrupt-stream clamp
+            for (int t = 0; t < nnz_ac; t++) {
+              pos += br.get_ue() + 1;
+              if (pos >= 64 || br.pos > br.nbits) break;  // corrupt stream
+              zz[pos] = br.get_se();
+            }
+          }
+          if (b < 4) dcy[(size_t)by * 2 * nbx + bx] = zz[0];
+          else (b == 4 ? dcc0 : dcc1)[(size_t)my * nbx + mx] = zz[0];
+        } else if (br.get(1)) {
           int nnz = br.get_ue() + 1, pos = -1;
           if (nnz > 64) nnz = 64;  // corrupt-stream clamp
           for (int t = 0; t < nnz; t++) {
@@ -452,14 +536,19 @@ extern "C" {
 int tvc_parse_frame_planes(const uint8_t* payload, uint64_t nbits, int is_p,
                            int base_qp, int nby, int nbx, int16_t* ly,
                            int16_t* lcb, int16_t* lcr, int32_t* mvs,
-                           uint8_t* inter, int32_t* qps) {
+                           uint8_t* inter, int32_t* qps, int version) {
   BitReader br(payload, nbits);
+  int prev_dx = 0, prev_dy = 0, prev_inter = 0;  // v2 left-MB mv state
   for (int m = 0; m < nby * nbx; m++) {
     int my = m / nbx, mx = m % nbx;
     bool mb_inter = false;
     int dy = 0, dx = 0;
     if (is_p) {
-      if (br.get_ue() == 0) { mb_inter = true; dx = br.get_se(); dy = br.get_se(); }
+      if (br.get_ue() == 0) {
+        mb_inter = true; dx = br.get_se(); dy = br.get_se();
+        if (version >= 2 && mx > 0 && prev_inter) { dx += prev_dx; dy += prev_dy; }
+      }
+      prev_inter = mb_inter; prev_dx = dx; prev_dy = dy;
     }
     int qp = base_qp + br.get_se();
     qps[m] = qp < 1 ? 1 : (qp > 63 ? 63 : qp);  // corrupt-stream clamp
@@ -474,6 +563,27 @@ int tvc_parse_frame_planes(const uint8_t* payload, uint64_t nbits, int is_p,
         dst = ly + ((size_t)by * (2 * nbx) + bx) * 64;
       } else {
         dst = (b == 4 ? lcb : lcr) + (size_t)m * 64;
+      }
+      if (version >= 2) {
+        // DC pred = left block's level in the output arrays themselves
+        int32_t pdc = 0;
+        if (b < 4) {
+          int by = 2 * my + (b >> 1), bx = 2 * mx + (b & 1);
+          if (bx > 0) pdc = ly[((size_t)by * (2 * nbx) + bx - 1) * 64];
+        } else if (mx > 0) {
+          pdc = (b == 4 ? lcb : lcr)[((size_t)m - 1) * 64];
+        }
+        if (!br.get(1)) continue;  // skipped block: dst stays all-zero
+        int32_t dc = pdc + br.get_se();
+        if (dc < -32768 || dc > 32767) return 4;
+        dst[0] = (int16_t)dc;
+        int nnz_ac = br.get_ue(), pos = 0;
+        for (int t = 0; t < nnz_ac; t++) {
+          pos += br.get_ue() + 1;
+          if (pos >= 64) return 1;  // corrupt stream
+          dst[pos] = (int16_t)br.get_se();
+        }
+        continue;
       }
       if (!br.get(1)) continue;
       int nnz = br.get_ue() + 1, pos = -1;
@@ -499,7 +609,7 @@ int tvc_parse_gop_planes(const uint8_t* blob, const uint64_t* offsets,
                          const int32_t* base_qp, int T, int nby, int nbx,
                          int16_t* ly, int16_t* lcb, int16_t* lcr,
                          int32_t* mvs, uint8_t* inter, int32_t* qps,
-                         int nthreads) {
+                         int nthreads, int version) {
   size_t n = (size_t)nby * nbx;
   size_t ly_st = 4 * n * 64, lc_st = n * 64;
   std::vector<int> rcs(T, 0);
@@ -512,7 +622,7 @@ int tvc_parse_gop_planes(const uint8_t* blob, const uint64_t* offsets,
           blob + offsets[t], nbits[t], is_p[t], base_qp[t], nby, nbx,
           ly + (size_t)t * ly_st, lcb + (size_t)t * lc_st,
           lcr + (size_t)t * lc_st, mvs + (size_t)t * n * 2,
-          inter + (size_t)t * n, qps + (size_t)t * n);
+          inter + (size_t)t * n, qps + (size_t)t * n, version);
     }
   };
   if (nthreads < 1) nthreads = 1;
@@ -568,6 +678,11 @@ int tvc_decode_stream(const uint8_t* data, int64_t size, uint8_t* out,
                       int64_t out_cap) {
   init_qstep();
   if (size < 24 || memcmp(data, "TVC1", 4)) return -1;
+  int version = get_le16(&data[4]);
+  if (version < 1 || version > 2) return -4;
+  int flags = get_le16(&data[6]);
+  int cqpo = (flags >> 8) & 0xFF;
+  if (cqpo >= 128) cqpo -= 256;  // signed int8 (SPEC.md §12.1)
   int w = get_le16(&data[8]), h = get_le16(&data[10]);
   uint32_t nframes = get_le32(&data[16]);
   int64_t fsz = (int64_t)w * h * 3 / 2;
@@ -586,7 +701,8 @@ int tvc_decode_stream(const uint8_t* data, int64_t size, uint8_t* out,
     off += 8;
     size_t nbytes = (((uint64_t)pbits + 31) / 32) * 4;  // 64-bit: no wrap
     if (nbytes > (size_t)size || off + nbytes > (size_t)size) return -3;
-    decode_frame(w, h, ftype == 1, base_qp, &data[off], pbits, ry, rcb, rcr);
+    decode_frame(w, h, ftype == 1, base_qp, &data[off], pbits, ry, rcb, rcr,
+                 version, cqpo);
     off += nbytes;
     uint8_t* o = out + fsz * i;
     for (int y = 0; y < h; y++)
@@ -631,6 +747,8 @@ int main(int argc, char** argv) {
     int kbps = argc > 10 ? atoi(argv[10]) : 0;
     cfg.target_bits = kbps > 0 ? kbps * 1000 / 30 : 0;
     int max_frames = argc > 11 ? atoi(argv[11]) : INT32_MAX;
+    cfg.fmt = argc > 12 ? atoi(argv[12]) : 1;
+    cfg.cqpo = argc > 13 ? atoi(argv[13]) : 0;
 
     FILE* f = fopen(in, "rb");
     if (!f) { perror("open"); return 1; }
@@ -671,8 +789,9 @@ int main(int argc, char** argv) {
     // container (SPEC.md §8)
     std::vector<uint8_t> hdr;
     hdr.insert(hdr.end(), {'T', 'V', 'C', '1'});
-    put_le16(hdr, 1);
-    put_le16(hdr, cfg.gop == 1 ? 1 : 0);
+    put_le16(hdr, (uint16_t)cfg.fmt);
+    put_le16(hdr, (uint16_t)((cfg.gop == 1 ? 1 : 0) |
+                             ((cfg.fmt >= 2 ? (cfg.cqpo & 0xFF) : 0) << 8)));
     put_le16(hdr, cfg.w); put_le16(hdr, cfg.h);
     put_le16(hdr, cfg.gop);
     hdr.push_back(cfg.qp);
@@ -715,6 +834,10 @@ int main(int argc, char** argv) {
     if (fread(data.data(), 1, sz, f) != (size_t)sz) { return 1; }
     fclose(f);
     if (sz < 24 || memcmp(data.data(), "TVC1", 4)) { fprintf(stderr, "bad magic\n"); return 1; }
+    int version = get_le16(&data[4]);
+    int flags = get_le16(&data[6]);
+    int cqpo = (flags >> 8) & 0xFF;
+    if (cqpo >= 128) cqpo -= 256;
     int w = get_le16(&data[8]), h = get_le16(&data[10]);
     uint32_t nframes = get_le32(&data[16]);
     FILE* o = fopen(argv[3], "wb");
@@ -731,7 +854,8 @@ int main(int argc, char** argv) {
       uint32_t pbits = get_le32(&data[off + 4]);
       off += 8;
       size_t nbytes = ((pbits + 31) / 32) * 4;
-      decode_frame(w, h, ftype == 1, base_qp, &data[off], pbits, ry, rcb, rcr);
+      decode_frame(w, h, ftype == 1, base_qp, &data[off], pbits, ry, rcb, rcr,
+                 version, cqpo);
       off += nbytes;
       // crop + write
       std::vector<uint8_t> yout((size_t)w * h), cbout((size_t)w * h / 4), crout((size_t)w * h / 4);

@@ -32,6 +32,7 @@ def cmd_encode(a) -> int:
     cfg = EncoderConfig(
         width=w, height=h, gop_n=a.gop, base_qp=a.qp, search=a.search,
         rc=a.rc, target_kbps=a.kbps, fps_num=fps[0], fps_den=fps[1],
+        format_version=a.format, chroma_qp_offset=a.chroma_qp_offset,
     )
     n_frames = a.frames
     if n_frames == 0:
@@ -191,6 +192,10 @@ def main(argv=None) -> int:
     e.add_argument("--kbps", type=int, default=0)
     e.add_argument("--frames", type=int, default=0, help="0 = all")
     e.add_argument("--engine", choices=["gop", "device", "golden"], default="gop")
+    e.add_argument("--format", type=int, choices=[1, 2], default=1,
+                   help="bitstream format: 1=TVC1, 2=v2 (mv pred, DC DPCM)")
+    e.add_argument("--chroma-qp-offset", type=int, default=0,
+                   help="v2 only: chroma QP offset in [-12, 12]")
     e.add_argument("-v", "--verbose", action="store_true")
     e.set_defaults(fn=cmd_encode)
 

@@ -31,6 +31,8 @@ class StreamInfo:
     frame_count: int
     config_hash: int
     flags: int = 0
+    version: int = 1
+    chroma_qp_offset: int = 0  # v2 (SPEC.md §12.1): flags high byte
 
 
 @dataclasses.dataclass
@@ -50,11 +52,13 @@ class FramePacket:
 
 def write_stream_header(f: BinaryIO, cfg: EncoderConfig, frame_count: int) -> None:
     flags = 1 if cfg.intra_only else 0
+    if cfg.format_version >= 2:
+        flags |= (cfg.chroma_qp_offset & 0xFF) << 8  # SPEC.md §12.1
     f.write(
         struct.pack(
             STREAM_HEADER_FMT,
             MAGIC,
-            VERSION,
+            cfg.format_version,
             flags,
             cfg.width,
             cfg.height,
@@ -76,9 +80,14 @@ def read_stream_header(f: BinaryIO) -> StreamInfo:
     )
     if magic != MAGIC:
         raise ValueError(f"not a TVC1 stream (magic={magic!r})")
-    if ver != VERSION:
+    if ver not in (1, 2):
         raise ValueError(f"unsupported TVC1 version {ver}")
-    return StreamInfo(w, h, gop, qp, search, nframes, cfghash, flags)
+    cqpo = 0
+    if ver >= 2:
+        cqpo = (flags >> 8) & 0xFF
+        if cqpo >= 128:
+            cqpo -= 256  # signed int8 (SPEC.md §12.1)
+    return StreamInfo(w, h, gop, qp, search, nframes, cfghash, flags, ver, cqpo)
 
 
 class OrderedMux:

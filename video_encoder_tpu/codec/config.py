@@ -23,6 +23,10 @@ class EncoderConfig:
     target_kbps: int = 0       # rc="bitrate" only
     fps_num: int = 30          # timing for bitrate RC budget
     fps_den: int = 1
+    # Bitstream format (SPEC.md §8 v1 / §12 v2). v2 adds left-MV
+    # prediction, DC DPCM and the chroma QP offset.
+    format_version: int = 1
+    chroma_qp_offset: int = 0  # v2 only, [-12, 12]
     # Parallel layout (SURVEY.md §2.1): devices along the GOP axis and the
     # spatial tile axis of the mesh.
     gop_devices: int = 1
@@ -39,6 +43,12 @@ class EncoderConfig:
             raise ValueError(f"unknown rc mode {self.rc!r}")
         if self.gop_n < 1:
             raise ValueError("gop_n must be >= 1")
+        if self.format_version not in (1, 2):
+            raise ValueError(f"unknown format version {self.format_version}")
+        if not (-12 <= self.chroma_qp_offset <= 12):
+            raise ValueError("chroma_qp_offset must be in [-12, 12]")
+        if self.format_version == 1 and self.chroma_qp_offset != 0:
+            raise ValueError("chroma_qp_offset requires format_version=2")
 
     @property
     def intra_only(self) -> bool:
@@ -49,11 +59,14 @@ class EncoderConfig:
         return {"full": 0, "diamond": 1}[self.search]
 
     def canonical(self) -> str:
-        return (
+        s = (
             f"tvc1:w={self.width}:h={self.height}:gop={self.gop_n}"
             f":qp={self.base_qp}:search={self.search}:rc={self.rc}"
             f":kbps={self.target_kbps}:fps={self.fps_num}/{self.fps_den}"
         )
+        if self.format_version != 1:
+            s += f":v={self.format_version}:cqpo={self.chroma_qp_offset}"
+        return s
 
     def config_hash(self) -> int:
         return zlib.crc32(self.canonical().encode()) & 0xFFFFFFFF

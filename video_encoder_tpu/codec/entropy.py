@@ -297,6 +297,148 @@ def pack_frame_blocked(
     return words, total_bits, mb_bits.reshape(nby, nbx), ovf_h | ovf_b | ovf_f
 
 
+def header_symbols_v2(qp_delta, is_p_frame, is_inter, dy, dx):
+    """v2 per-MB header symbols (SPEC.md §12.3): mv codes as se(mv − pred)
+    with pred = the left MB's mv when both MBs are inter, else (0,0).
+    Left-only prediction keeps MB rows independent (tile-shard safe)."""
+    p = jnp.asarray(is_p_frame, jnp.bool_)
+    mode_val, mode_len = ue_code(jnp.where(is_inter, 0, 1))
+    mode_len = jnp.where(p, mode_len, 0)
+    inter_p = is_inter & p
+
+    left_inter = jnp.pad(is_inter[:, :-1], ((0, 0), (1, 0)))
+    both = is_inter & left_inter
+    pred_dx = jnp.where(both, jnp.pad(dx[:, :-1], ((0, 0), (1, 0))), 0)
+    pred_dy = jnp.where(both, jnp.pad(dy[:, :-1], ((0, 0), (1, 0))), 0)
+
+    dx_val, dx_len = se_code(dx - pred_dx)
+    dy_val, dy_len = se_code(dy - pred_dy)
+    dx_len = jnp.where(inter_p, dx_len, 0)
+    dy_len = jnp.where(inter_p, dy_len, 0)
+    qpd_val, qpd_len = se_code(qp_delta)
+    values = jnp.stack([mode_val, dx_val, dy_val, qpd_val], axis=-1)
+    lengths = jnp.stack([mode_len, dx_len, dy_len, qpd_len], axis=-1)
+    return jnp.where(lengths > 0, values.astype(jnp.uint32), 0), lengths
+
+
+BLOCK_SLOTS_V2 = 3 + 2 * 63  # cbf, se(dcd), ue(nnz_ac), (run, level) x 63
+
+
+def block_symbols_v2(levels_zz: jnp.ndarray, dc_pred: jnp.ndarray):
+    """v2 per-block symbols [..., 129] (SPEC.md §12.4-12.5): cbf,
+    se(dc − dc_pred), ue(nnz_ac), then (run, level) for nonzero AC at
+    zigzag positions 1..63 (runs counted from position 1)."""
+    dc = levels_zz[..., 0]
+    ac = levels_zz[..., 1:]
+    nz_ac = ac != 0
+    nnz_ac = nz_ac.sum(axis=-1).astype(jnp.int32)
+    cbf = (dc != 0) | (nnz_ac > 0)
+
+    idx = jnp.arange(63, dtype=jnp.int32)
+    masked_idx = jnp.where(nz_ac, idx, -1)
+    cm = jax.lax.cummax(masked_idx, axis=masked_idx.ndim - 1)
+    prev_nz = jnp.concatenate(
+        [jnp.full((*cm.shape[:-1], 1), -1, jnp.int32), cm[..., :-1]], axis=-1
+    )
+    run = idx - prev_nz - 1
+
+    run_val, run_len = ue_code(jnp.where(nz_ac, run, 0))
+    lev_val, lev_len = se_code(ac)
+    run_len = jnp.where(nz_ac, run_len, 0)
+    lev_len = jnp.where(nz_ac, lev_len, 0)
+
+    cbf_val = cbf.astype(jnp.uint32)
+    cbf_len = jnp.ones_like(nnz_ac)
+    dcd_val, dcd_len = se_code(dc - dc_pred)
+    dcd_len = jnp.where(cbf, dcd_len, 0)
+    nnz_val, nnz_len = ue_code(nnz_ac)
+    nnz_len = jnp.where(cbf, nnz_len, 0)
+
+    pair_val = jnp.stack([run_val, lev_val], axis=-1).reshape(*nnz_ac.shape, 126)
+    pair_len = jnp.stack([run_len, lev_len], axis=-1).reshape(*nnz_ac.shape, 126)
+    values = jnp.concatenate(
+        [cbf_val[..., None], dcd_val[..., None], nnz_val[..., None], pair_val], -1
+    )
+    lengths = jnp.concatenate(
+        [cbf_len[..., None], dcd_len[..., None], nnz_len[..., None], pair_len], -1
+    )
+    values = jnp.where(lengths > 0, values.astype(jnp.uint32), 0)
+    return values, lengths.astype(jnp.int32)
+
+
+def _dc_pred_left(levels: jnp.ndarray) -> jnp.ndarray:
+    """Left-block DC predictor on a [..., by, bx, 64] plane level array:
+    pred(by, bx) = dc level of (by, bx−1), 0 at bx = 0 (SPEC.md §12.4)."""
+    dc = levels[..., 0]
+    return jnp.pad(dc[..., :, :-1], ((0, 0), (1, 0)))
+
+
+def pack_frame_planes_v2(
+    levels_y8: jnp.ndarray,
+    levels_cb: jnp.ndarray,
+    levels_cr: jnp.ndarray,
+    qp_delta: jnp.ndarray,
+    is_p_frame,
+    is_inter: jnp.ndarray,
+    dy: jnp.ndarray,
+    dx: jnp.ndarray,
+    block_words: int,
+    n_words: int,
+):
+    """pack_frame_planes for format v2 (SPEC.md §12). Bit-exact with the
+    golden v2 sequential writer (tests/test_format_v2.py)."""
+    nby, nbx = qp_delta.shape
+    n_mbs = nby * nbx
+
+    hv, hl = header_symbols_v2(qp_delta, is_p_frame, is_inter, dy, dx)
+    hwords, hbits, ovf_h = pack_dense(
+        hv.reshape(n_mbs, HEADER_SLOTS), hl.reshape(n_mbs, HEADER_SLOTS), HEADER_WORDS
+    )
+
+    yv, yl = block_symbols_v2(levels_y8, _dc_pred_left(levels_y8))
+    ywords, ybits, ovf_y = pack_dense(yv, yl, block_words)
+    ywords = ywords.reshape(nby, 2, nbx, 2, block_words).transpose(0, 2, 1, 3, 4)
+    ywords = ywords.reshape(n_mbs, 4, block_words)
+    ybits = ybits.reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3).reshape(n_mbs, 4)
+
+    cbv, cbl = block_symbols_v2(levels_cb, _dc_pred_left(levels_cb))
+    cbwords, cbbits, ovf_cb = pack_dense(cbv, cbl, block_words)
+    crv, crl = block_symbols_v2(levels_cr, _dc_pred_left(levels_cr))
+    crwords, crbits, ovf_cr = pack_dense(crv, crl, block_words)
+
+    hpad = jnp.pad(hwords, ((0, 0), (0, block_words - HEADER_WORDS)))
+    piece_words = jnp.concatenate(
+        [
+            hpad[:, None],
+            ywords,
+            cbwords.reshape(n_mbs, 1, block_words),
+            crwords.reshape(n_mbs, 1, block_words),
+            jnp.zeros((n_mbs, 1, block_words), jnp.uint32),
+        ],
+        axis=1,
+    )
+    piece_bits = jnp.concatenate(
+        [
+            hbits[:, None],
+            ybits,
+            cbbits.reshape(n_mbs, 1),
+            crbits.reshape(n_mbs, 1),
+            jnp.zeros((n_mbs, 1), jnp.int32),
+        ],
+        axis=1,
+    )
+    mb_bits = piece_bits[:, :7].sum(axis=1)
+
+    words, total_bits = tree_concat(
+        piece_words.reshape(n_mbs * 8, block_words),
+        piece_bits.reshape(n_mbs * 8),
+        n_words,
+    )
+    ovf_f = total_bits > 32 * n_words
+    ovf = ovf_h | ovf_y | ovf_cb | ovf_cr | ovf_f
+    return words, total_bits, mb_bits.reshape(nby, nbx), ovf
+
+
 def pack_frame_planes(
     levels_y8: jnp.ndarray,  # [2*nby, 2*nbx, 64] luma 8x8-block levels
     levels_cb: jnp.ndarray,  # [nby, nbx, 64]

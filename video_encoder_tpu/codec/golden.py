@@ -232,10 +232,21 @@ def _predict(cur: Frame, ref: Frame | None, is_inter: np.ndarray, dy, dx):
     return pred_y, pred_cb, pred_cr
 
 
-def _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr) -> Frame:
+def _q6(qp_mb, chroma_qp_offset=0):
+    """Per-block quantizer steps [nby, nbx, 6, 1, 1]; v2 chroma QP offset
+    (SPEC.md §12.2) applies to blocks 4-5 only."""
+    qp_c = np.clip(qp_mb + chroma_qp_offset, spec.QP_MIN, spec.QP_MAX)
+    ql = spec.QSTEP[qp_mb]
+    qc = spec.QSTEP[qp_c]
+    q6 = np.stack([ql, ql, ql, ql, qc, qc], axis=2)
+    return q6[:, :, :, None, None]
+
+
+def _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr,
+                 chroma_qp_offset=0) -> Frame:
     """Shared encoder/decoder reconstruction (C14): bit-exact by construction."""
     nby, nbx = qp_mb.shape
-    q = spec.QSTEP[qp_mb][:, :, None, None, None]
+    q = _q6(qp_mb, chroma_qp_offset)
     levels = np.zeros((nby, nbx, 6, 64), dtype=np.int32)
     levels[..., spec.ZIGZAG] = levels_zz
     coefs = spec.dequantize(levels.reshape(nby, nbx, 6, 8, 8), q)
@@ -286,14 +297,34 @@ def encode_frame(
     resid_cr = spec.blockify(cur.cr, spec.BLK) - pred_cr
     blocks6 = _assemble_blocks(resid_y, resid_cb, resid_cr)
 
-    q = spec.QSTEP[qp_mb][:, :, None, None, None]
+    cqpo = cfg.chroma_qp_offset if cfg.format_version >= 2 else 0
+    q = _q6(qp_mb, cqpo)
     coefs = spec.forward_transform(blocks6)
     levels = spec.quantize(coefs, q)
     levels_zz = levels.reshape(nby, nbx, 6, 64)[..., spec.ZIGZAG]
 
-    recon = _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr)
+    recon = _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr, cqpo)
 
     # ---- entropy coding (C12): golden sequential bitwriter ----
+    fmt = cfg.format_version
+    if fmt >= 2:
+        # v2 predictors (SPEC.md §12.3-12.4), vectorized: left-MB mv pred,
+        # left-block DC pred on each plane's block grid.
+        pred_dx = np.zeros_like(dx)
+        pred_dy = np.zeros_like(dy)
+        left_ok = np.zeros_like(is_inter)
+        left_ok[:, 1:] = is_inter[:, :-1] & is_inter[:, 1:]
+        pred_dx[:, 1:] = np.where(left_ok[:, 1:], dx[:, :-1], 0)
+        pred_dy[:, 1:] = np.where(left_ok[:, 1:], dy[:, :-1], 0)
+        dcy = np.zeros((2 * nby, 2 * nbx), dtype=np.int32)
+        for b in range(4):
+            dcy[b // 2 :: 2, b % 2 :: 2] = levels_zz[:, :, b, 0]
+        dcy_pred = np.zeros_like(dcy)
+        dcy_pred[:, 1:] = dcy[:, :-1]
+        dcc_pred = np.zeros((nby, nbx, 2), dtype=np.int32)
+        dcc_pred[:, 1:, 0] = levels_zz[:, :-1, 4, 0]
+        dcc_pred[:, 1:, 1] = levels_zz[:, :-1, 5, 0]
+
     bw = BitWriter()
     mb_bits = np.zeros((nby, nbx), dtype=np.int64)
     for my in range(nby):
@@ -303,12 +334,34 @@ def encode_frame(
             if frame_type == 1:
                 bw.put_ue(0 if inter else 1)
                 if inter:
-                    bw.put_se(int(dx[my, mx]))
-                    bw.put_se(int(dy[my, mx]))
+                    if fmt >= 2:
+                        bw.put_se(int(dx[my, mx]) - int(pred_dx[my, mx]))
+                        bw.put_se(int(dy[my, mx]) - int(pred_dy[my, mx]))
+                    else:
+                        bw.put_se(int(dx[my, mx]))
+                        bw.put_se(int(dy[my, mx]))
             bw.put_se(int(qp_mb[my, mx]) - base_qp)
             for b in range(6):
                 zz = levels_zz[my, mx, b]
                 nz = np.nonzero(zz)[0]
+                if fmt >= 2:
+                    if len(nz) == 0:
+                        bw.put(0, 1)
+                        continue
+                    bw.put(1, 1)
+                    if b < 4:
+                        pdc = int(dcy_pred[2 * my + b // 2, 2 * mx + b % 2])
+                    else:
+                        pdc = int(dcc_pred[my, mx, b - 4])
+                    bw.put_se(int(zz[0]) - pdc)
+                    ac = nz[nz > 0]
+                    bw.put_ue(len(ac))
+                    prev = 0
+                    for pos in ac:
+                        bw.put_ue(int(pos - prev - 1))
+                        bw.put_se(int(zz[pos]))
+                        prev = pos
+                    continue
                 if len(nz) == 0:
                     bw.put(0, 1)
                     continue
@@ -344,8 +397,13 @@ def decode_frame(
     payload: bytes,
     payload_bits: int,
     ref: Frame | None,
+    version: int = 1,
+    chroma_qp_offset: int = 0,
 ) -> Frame:
-    """Decode one frame; reconstruction is bit-exact with the encoder's."""
+    """Decode one frame; reconstruction is bit-exact with the encoder's.
+
+    version=2 parses the SPEC.md §12 syntax (left-MV prediction, DC DPCM,
+    chroma QP offset); raster order makes every left predictor available."""
     wp, hp = spec.ceil_to(width, spec.MB), spec.ceil_to(height, spec.MB)
     nby, nbx = hp // spec.MB, wp // spec.MB
     br = BitReader(payload, payload_bits)
@@ -355,6 +413,8 @@ def decode_frame(
     dx = np.zeros((nby, nbx), dtype=np.int32)
     qp_mb = np.zeros((nby, nbx), dtype=np.int32)
     levels_zz = np.zeros((nby, nbx, 6, 64), dtype=np.int32)
+    dcy = np.zeros((2 * nby, 2 * nbx), dtype=np.int32)  # v2 DC grids
+    dcc = np.zeros((nby, nbx, 2), dtype=np.int32)
 
     for my in range(nby):
         for mx in range(nbx):
@@ -362,17 +422,46 @@ def decode_frame(
                 mode = br.get_ue()
                 if mode == 0:
                     is_inter[my, mx] = True
-                    dx[my, mx] = br.get_se()
-                    dy[my, mx] = br.get_se()
+                    vx, vy = br.get_se(), br.get_se()
+                    if version >= 2 and mx > 0 and is_inter[my, mx - 1]:
+                        vx += int(dx[my, mx - 1])
+                        vy += int(dy[my, mx - 1])
+                    if not (-16 <= vx <= 16 and -16 <= vy <= 16):
+                        raise ValueError(
+                            f"corrupt stream: mv ({vy},{vx}) out of range"
+                        )
+                    dx[my, mx] = vx
+                    dy[my, mx] = vy
             qp_mb[my, mx] = base_qp + br.get_se()
             for b in range(6):
                 if br.get(1) == 0:
                     continue
-                nnz = br.get_ue() + 1
-                pos = -1
-                for _ in range(nnz):
-                    pos += br.get_ue() + 1
-                    levels_zz[my, mx, b, pos] = br.get_se()
+                if version >= 2:
+                    # predictor = the left block's final DC level, which for
+                    # Y(0,8)/Y(8,8) is a block of THIS MB — so the DC grids
+                    # update per block, not per MB
+                    if b < 4:
+                        by, bx = 2 * my + b // 2, 2 * mx + b % 2
+                        pdc = int(dcy[by, bx - 1]) if bx > 0 else 0
+                    else:
+                        pdc = int(dcc[my, mx - 1, b - 4]) if mx > 0 else 0
+                    dc = pdc + br.get_se()
+                    levels_zz[my, mx, b, 0] = dc
+                    if b < 4:
+                        dcy[by, bx] = dc
+                    else:
+                        dcc[my, mx, b - 4] = dc
+                    nnz_ac = br.get_ue()
+                    pos = 0
+                    for _ in range(nnz_ac):
+                        pos += br.get_ue() + 1
+                        levels_zz[my, mx, b, pos] = br.get_se()
+                else:
+                    nnz = br.get_ue() + 1
+                    pos = -1
+                    for _ in range(nnz):
+                        pos += br.get_ue() + 1
+                        levels_zz[my, mx, b, pos] = br.get_se()
 
     # Dummy current frame (only geometry is used by _predict).
     geom = Frame(
@@ -381,4 +470,5 @@ def decode_frame(
         np.zeros((hp // 2, wp // 2), np.int32),
     )
     pred_y, pred_cb, pred_cr = _predict(geom, ref, is_inter, dy, dx)
-    return _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr)
+    cqpo = chroma_qp_offset if version >= 2 else 0
+    return _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr, cqpo)

@@ -55,7 +55,7 @@ def _load():
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
     ]
     lib.tvc_parse_frame_planes.restype = ctypes.c_int
     lib.tvc_parse_frame_planes.argtypes = [
@@ -64,6 +64,7 @@ def _load():
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
     ]
     _lib = lib
     return lib
@@ -106,7 +107,8 @@ def parse_frame(payload: bytes, nbits: int, is_p: bool, base_qp: int, nby: int, 
 
 
 def parse_frame_planes(
-    payload: bytes, nbits: int, is_p: bool, base_qp: int, nby: int, nbx: int
+    payload: bytes, nbits: int, is_p: bool, base_qp: int, nby: int, nbx: int,
+    version: int = 1,
 ):
     """Entropy-decode one frame payload into the per-plane int16 layout the
     device GOP decoder consumes: (ly [2nby,2nbx,64] i16, lcb, lcr
@@ -127,6 +129,7 @@ def parse_frame_planes(
         mvs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         inter.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         qps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        version,
     )
     if rc != 0:
         raise ValueError(f"corrupt TVC1 frame payload (code {rc})")
@@ -145,6 +148,7 @@ def parse_gop_planes(
     nby: int,
     nbx: int,
     nthreads: int = 0,
+    version: int = 1,
 ):
     """Threaded entropy decode of a whole GOP (frame payloads parse
     independently — the reference's threaded demux stage done natively).
@@ -179,7 +183,7 @@ def parse_gop_planes(
         mvs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         inter.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         qps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        nthreads,
+        nthreads, version,
     )
     if rc != 0:
         raise ValueError(f"corrupt TVC1 frame payload in GOP (code {rc})")

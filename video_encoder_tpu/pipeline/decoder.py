@@ -21,9 +21,14 @@ from ..codec.golden import Frame, decode_frame
 
 
 class GoldenDecodeEngine:
+    def __init__(self, version: int = 1, chroma_qp_offset: int = 0):
+        self.version = version
+        self.chroma_qp_offset = chroma_qp_offset
+
     def decode(self, width, height, pkt: bitstream.FramePacket, ref: Frame | None) -> Frame:
         return decode_frame(
-            width, height, pkt.frame_type, pkt.base_qp, pkt.payload, pkt.payload_bits, ref
+            width, height, pkt.frame_type, pkt.base_qp, pkt.payload,
+            pkt.payload_bits, ref, self.version, self.chroma_qp_offset
         )
 
 
@@ -114,8 +119,8 @@ def _decode_gop_jit():
     from ..ops import dispatch
     from ..ops import transform as tx
 
-    @jax.jit
-    def decode_gop(ly, lcb, lcr, dy, dx, inter, qp):
+    @functools.partial(jax.jit, static_argnames=("cqpo",))
+    def decode_gop(ly, lcb, lcr, dy, dx, inter, qp, cqpo=0):
         """Reconstruct a [T, ...] GOP on device in one lax.scan program —
         the decode mirror of gop_engine.encode_gop_jit. Frame 0 is the I
         frame (its `inter` mask is all-False, so the MC path is masked off
@@ -150,9 +155,12 @@ def _decode_gop_jit():
             )
             qs = tx.QSTEP[qp_f]
             qy = jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1)
+            qc = qs if cqpo == 0 else tx.QSTEP[
+                jnp.clip(qp_f + cqpo, spec.QP_MIN, spec.QP_MAX)
+            ]
             rec_y = recon_plane(xs["ly"].astype(jnp.int32), pred_y, qy)
-            rec_cb = recon_plane(xs["lcb"].astype(jnp.int32), pred_cb, qs)
-            rec_cr = recon_plane(xs["lcr"].astype(jnp.int32), pred_cr, qs)
+            rec_cb = recon_plane(xs["lcb"].astype(jnp.int32), pred_cb, qc)
+            rec_cr = recon_plane(xs["lcr"].astype(jnp.int32), pred_cr, qc)
             out = (
                 rec_y.astype(jnp.uint8),
                 rec_cb.astype(jnp.uint8),
@@ -178,12 +186,14 @@ class GopDecodeEngine:
     program reconstructs the entire GOP on device — no per-frame host
     round-trips (the decode mirror of GopEngine)."""
 
-    def __init__(self):
+    def __init__(self, version: int = 1, chroma_qp_offset: int = 0):
         from ..codec import native
 
         self._native = native
         native._load()
         self._jit = _decode_gop_jit()
+        self.version = version
+        self.chroma_qp_offset = chroma_qp_offset
 
     def decode_gop(self, width: int, height: int, packets) -> list[Frame]:
         """packets: one GOP (first packet is the I frame)."""
@@ -196,12 +206,12 @@ class GopDecodeEngine:
             [p.payload_bits for p in packets],
             [p.frame_type == 1 for p in packets],
             [p.base_qp for p in packets],
-            nby, nbx,
+            nby, nbx, version=self.version,
         )
         ry, rcb, rcr = self._jit(
             jnp.asarray(ly), jnp.asarray(lcb), jnp.asarray(lcr),
             jnp.asarray(dy), jnp.asarray(dx), jnp.asarray(inter),
-            jnp.asarray(qps),
+            jnp.asarray(qps), cqpo=self.chroma_qp_offset,
         )
         ry = np.asarray(ry).astype(np.int32)
         rcb = np.asarray(rcb).astype(np.int32)
@@ -213,8 +223,12 @@ def decode_clip_gop(
     f: BinaryIO, engine: "GopDecodeEngine | None" = None
 ) -> tuple[bitstream.StreamInfo, Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]]:
     """Decode a TVC1 stream GOP-at-a-time on device (GopDecodeEngine)."""
-    engine = engine or GopDecodeEngine()
     info, packets = bitstream.demux(f)
+    if engine is None:
+        engine = GopDecodeEngine(info.version, info.chroma_qp_offset)
+    else:
+        engine.version = info.version
+        engine.chroma_qp_offset = info.chroma_qp_offset
 
     def frames():
         gop: list = []
@@ -235,8 +249,12 @@ def decode_clip(
     f: BinaryIO, engine=None
 ) -> tuple[bitstream.StreamInfo, Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]]:
     """Decode a TVC1 stream → (info, iterator of cropped (y, cb, cr))."""
-    engine = engine or GoldenDecodeEngine()
     info, packets = bitstream.demux(f)
+    if engine is None:
+        engine = GoldenDecodeEngine(info.version, info.chroma_qp_offset)
+    elif getattr(engine, "version", None) is not None:
+        engine.version = info.version
+        engine.chroma_qp_offset = info.chroma_qp_offset
 
     def frames():
         ref: Frame | None = None

@@ -56,15 +56,20 @@ def _code_plane(cur, pred, q_blk):
     return lz, rec
 
 
-def _code_frame(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb):
+def _code_frame(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
+                cqpo: int = 0):
     """Shared transform→quant→zigzag→recon stages, per plane.
 
+    cqpo: v2 chroma QP offset (SPEC.md §12.2); 0 reproduces v1 exactly.
     Returns ((lz_y8 [2nby,2nbx,64], lz_cb, lz_cr), rec_y, rec_cb, rec_cr)."""
     qs = tx.QSTEP[qp_mb]
     qy = jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1)
+    qc = qs if cqpo == 0 else tx.QSTEP[
+        jnp.clip(qp_mb + cqpo, spec.QP_MIN, spec.QP_MAX)
+    ]
     lz_y, rec_y = _code_plane(cur_y, pred_y, qy)
-    lz_cb, rec_cb = _code_plane(cur_cb, pred_cb, qs)
-    lz_cr, rec_cr = _code_plane(cur_cr, pred_cr, qs)
+    lz_cb, rec_cb = _code_plane(cur_cb, pred_cb, qc)
+    lz_cr, rec_cr = _code_plane(cur_cr, pred_cr, qc)
     return (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr
 
 
@@ -76,8 +81,12 @@ def _sse(a, b):
 def encode_frame_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
     *, is_p: bool, search: str, rc: str, block_words: int, cap_words: int,
+    fmt: int = 1, cqpo: int = 0,
 ):
-    """One frame, traceable; is_p/search/rc are static (two cond branches)."""
+    """One frame, traceable; is_p/search/rc/fmt/cqpo are static.
+
+    fmt=2 selects the SPEC.md §12 syntax (left-MV prediction, DC DPCM,
+    chroma QP offset); the search/recon math is format-independent."""
     dc, icost = motion.intra_cost_and_dc(cur_y)
     nby, nbx = icost.shape
 
@@ -107,10 +116,12 @@ def encode_frame_traced(
         qp_mb = jnp.full((nby, nbx), base_qp, jnp.int32)
 
     (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr = _code_frame(
-        cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb
+        cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
+        cqpo if fmt >= 2 else 0,
     )
 
-    words, total_bits, mb_bits, ovf_p = entropy.pack_frame_planes(
+    pack = entropy.pack_frame_planes_v2 if fmt >= 2 else entropy.pack_frame_planes
+    words, total_bits, mb_bits, ovf_p = pack(
         lz_y, lz_cb, lz_cr, qp_mb - base_qp, jnp.asarray(is_p), is_inter,
         dy, dx, block_words, cap_words,
     )
@@ -129,12 +140,13 @@ def encode_frame_traced(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("search", "rc", "block_words", "cap_words", "target_bits"),
+    static_argnames=("search", "rc", "block_words", "cap_words", "target_bits",
+                     "fmt", "cqpo"),
 )
 def encode_gop_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, search: str, rc: str, block_words: int, cap_words: int,
-    target_bits: int,
+    target_bits: int, fmt: int = 1, cqpo: int = 0,
 ):
     """Encode a [T, ...] uint8 GOP on device. Returns stacked per-frame
     outputs (words/bits/ovf/qp/n_inter/sse)."""
@@ -148,7 +160,7 @@ def encode_gop_jit(
         idx = xs["i"]
 
         kw = dict(search=search, rc=rc, block_words=block_words,
-                  cap_words=cap_words)
+                  cap_words=cap_words, fmt=fmt, cqpo=cqpo)
         out = jax.lax.cond(
             idx > 0,
             lambda: encode_frame_traced(
@@ -215,6 +227,7 @@ class GopEngine:
             y, cb, cr, base_qp,
             search=cfg.search, rc=cfg.rc, block_words=bw,
             cap_words=cap, target_bits=cfg.target_bits_per_frame(),
+            fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
         )
 
     def encode_gop(
