@@ -101,3 +101,34 @@ def test_bit_concat_matches_bitwriter(rng):
     payload, nbits = tiles.bit_concat(chunks)
     assert nbits == full.nbits
     assert payload == full.tobytes()
+
+
+def test_tile_sharded_v2_equals_single(rng):
+    """Format v2's left-only prediction keeps the row-sharded encode
+    byte-identical to the unsharded encode (SPEC.md §12)."""
+    h, w, t, ntile = 64, 32, 2, 4
+    frames = _smooth_frames(rng, h, w, t)
+    cfg = EncoderConfig(width=w, height=h, gop_n=t, base_qp=24, search="full",
+                        format_version=2, chroma_qp_offset=2)
+    ref_pk, _ = GopEngine(cfg).encode_gop(frames, 0)
+
+    mesh = Mesh(np.array(jax.devices()[:ntile]), ("tile",))
+    y = jnp.asarray(np.stack([f.y for f in frames]).astype(np.uint8))
+    cb = jnp.asarray(np.stack([f.cb for f in frames]).astype(np.uint8))
+    cr = jnp.asarray(np.stack([f.cr for f in frames]).astype(np.uint8))
+    n_mbs_shard = (h // ntile // 16) * (w // 16)
+    outs = tiles.encode_gop_tiled(
+        y, cb, cr, 24, mesh=mesh, rc="none",
+        block_words=entropy.BLOCK_WORDS_MAX,
+        cap_words=entropy.max_words(n_mbs_shard),
+        target_bits=0, ref_mode="halo", fmt=2, cqpo=2,
+    )
+    assert not bool(np.asarray(outs["ovf"]).any())
+    bits = np.asarray(outs["bits"])
+    words = np.asarray(outs["words"])
+    for k in range(t):
+        payload, nbits = tiles.bit_concat(
+            [(words[s, k], int(bits[s, k])) for s in range(ntile)]
+        )
+        assert nbits == ref_pk[k].payload_bits
+        assert payload == ref_pk[k].payload

@@ -25,7 +25,7 @@ import numpy as np
 from bench import synth_clip
 
 
-def measure(w, h, n_frames, qps, search):
+def measure(w, h, n_frames, qps, search, fmt=1):
     from video_encoder_tpu.codec import golden, spec
     from video_encoder_tpu.codec.config import EncoderConfig
     from video_encoder_tpu.pipeline.gop_engine import GopEngine
@@ -38,7 +38,8 @@ def measure(w, h, n_frames, qps, search):
     ]
     points = []
     for qp in qps:
-        cfg = EncoderConfig(width=w, height=h, gop_n=n_frames, base_qp=qp, search=search)
+        cfg = EncoderConfig(width=w, height=h, gop_n=n_frames, base_qp=qp,
+                            search=search, format_version=fmt)
         pk, st = GopEngine(cfg).encode_gop(frames, 0)
         bits = sum(s.bits for s in st)
         bpp = bits / (n_frames * w * h)
@@ -64,17 +65,25 @@ def main():
             out = json.load(f)
     searches = ("full", "diamond") if a.search == "both" else (a.search,)
     for search in searches:
-        pts = measure(a.width, a.height, a.frames, a.qps, search)
-        out[search] = pts
-        print(f"\n{search} @ {a.width}x{a.height}:")
-        print("| qp | bpp | PSNR-Y (dB) | kbit/frame |")
-        print("|---|---|---|---|")
-        for p in pts:
-            print(f"| {p['qp']} | {p['bpp']} | {p['psnr_y']} | {p['kbit_per_frame']} |")
+        for fmt in (1, 2):
+            pts = measure(a.width, a.height, a.frames, a.qps, search, fmt)
+            key = search if fmt == 1 else f"{search}-v2"
+            out[key] = pts
+            print(f"\n{key} @ {a.width}x{a.height}:")
+            print("| qp | bpp | PSNR-Y (dB) | kbit/frame |")
+            print("|---|---|---|---|")
+            for p in pts:
+                print(f"| {p['qp']} | {p['bpp']} | {p['psnr_y']} | {p['kbit_per_frame']} |")
 
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\nwrote {path}")
+
+    # v2 must not exceed v1 in bits at equal qp (identical recon, cqpo=0)
+    for search in searches:
+        if search in out and f"{search}-v2" in out:
+            for p1, p2 in zip(out[search], out[f"{search}-v2"]):
+                assert p2["bpp"] <= p1["bpp"] + 1e-9, (search, p1, p2)
 
     # regression floors (SURVEY.md §4.3): MJPEG-class intra+P expectations
     for search, pts in out.items():

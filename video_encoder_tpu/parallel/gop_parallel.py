@@ -30,11 +30,13 @@ from ..pipeline.gop_engine import encode_gop_jit, _bucket, _block_words_for_qp
     jax.jit,
     static_argnames=(
         "mesh", "search", "rc", "block_words", "cap_words", "target_bits",
+        "fmt", "cqpo",
     ),
 )
 def encode_gop_batch_sharded(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, search, rc, block_words, cap_words, target_bits,
+    fmt: int = 1, cqpo: int = 0,
 ):
     """Encode [G, T, ...] uint8 GOP batch, G sharded over the 'gop' axis.
 
@@ -44,7 +46,7 @@ def encode_gop_batch_sharded(
     """
     kw = dict(
         search=search, rc=rc, block_words=block_words,
-        cap_words=cap_words, target_bits=target_bits,
+        cap_words=cap_words, target_bits=target_bits, fmt=fmt, cqpo=cqpo,
     )
 
     def per_device(y, cb, cr):

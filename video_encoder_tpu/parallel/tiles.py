@@ -102,6 +102,7 @@ def encode_frame_tile_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
     *, is_p: bool, rc: str, block_words: int, cap_words: int,
     axis_name: str = "tile", ref_mode: str = "halo",
+    fmt: int = 1, cqpo: int = 0,
 ):
     """Per-shard frame encode; cur_/ref_ planes are local row shards.
 
@@ -138,9 +139,13 @@ def encode_frame_tile_traced(
         qp_mb = jnp.full((nby, nbx), base_qp, jnp.int32)
 
     (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr = _code_frame(
-        cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb
+        cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
+        cqpo if fmt >= 2 else 0,
     )
-    words, bits, mb_bits, ovf_p = entropy.pack_frame_planes(
+    # v2 prediction is left-only within MB rows (SPEC.md §12), so the
+    # row-sharded pack needs no cross-shard state
+    pack = entropy.pack_frame_planes_v2 if fmt >= 2 else entropy.pack_frame_planes
+    words, bits, mb_bits, ovf_p = pack(
         lz_y, lz_cb, lz_cr, qp_mb - base_qp, jnp.asarray(is_p), is_inter,
         dy, dx, block_words, cap_words,
     )
@@ -155,11 +160,12 @@ def encode_frame_tile_traced(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "rc", "block_words", "cap_words",
-                     "target_bits", "ref_mode"),
+                     "target_bits", "ref_mode", "fmt", "cqpo"),
 )
 def encode_gop_tiled(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, rc, block_words, cap_words, target_bits, ref_mode="halo",
+    fmt: int = 1, cqpo: int = 0,
 ):
     """GOP encode with frames row-sharded over the 'tile' mesh axis.
 
@@ -173,7 +179,8 @@ def encode_gop_tiled(
             cur_y = xs["y"].astype(jnp.int32)
             cur_cb = xs["cb"].astype(jnp.int32)
             cur_cr = xs["cr"].astype(jnp.int32)
-            kw = dict(rc=rc, block_words=block_words, cap_words=cap_words)
+            kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
+                      fmt=fmt, cqpo=cqpo)
             out = jax.lax.cond(
                 xs["i"] > 0,
                 lambda: encode_frame_tile_traced(
