@@ -81,29 +81,36 @@ def _encode_gop_resident(cfg, frames, fo, n_frames, verbose):
     gop: list[Frame] = []
     start = 0
     count = 0
-    for planes in frames:
-        if count >= n_frames:
-            break
-        gop.append(Frame.from_planes(*planes))
-        count += 1
-        if len(gop) == cfg.gop_n:
-            pk, st = eng.encode_gop(gop, start)
-            for p in pk:
-                mux.push(p)
-            for s in st:
-                summary.add(s)
-                if verbose:
-                    print(s.to_json(), file=sys.stderr)
-            start += len(gop)
-            gop = []
-    if gop:
-        pk, st = eng.encode_gop(gop, start)
+    pending = None  # double-buffer: GOP k computes while k+1 reads/uploads
+
+    def drain(handle):
+        pk, st = eng.encode_gop_finish(handle)
         for p in pk:
             mux.push(p)
         for s in st:
             summary.add(s)
             if verbose:
                 print(s.to_json(), file=sys.stderr)
+
+    for planes in frames:
+        if count >= n_frames:
+            break
+        gop.append(Frame.from_planes(*planes))
+        count += 1
+        if len(gop) == cfg.gop_n:
+            handle = eng.encode_gop_start(gop, start)
+            if pending is not None:
+                drain(pending)
+            pending = handle
+            start += len(gop)
+            gop = []
+    if gop:
+        handle = eng.encode_gop_start(gop, start)
+        if pending is not None:
+            drain(pending)
+        pending = handle
+    if pending is not None:
+        drain(pending)
     mux.close()
     return summary
 

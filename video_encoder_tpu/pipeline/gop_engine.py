@@ -230,19 +230,38 @@ class GopEngine:
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
         )
 
-    def encode_gop(
+    def encode_gop_start(
         self, frames: list[Frame], first_index: int, base_qp: int | None = None
-    ) -> tuple[list[FramePacket], list[FrameStats]]:
+    ):
+        """Upload a GOP and launch the device program WITHOUT blocking.
+
+        JAX dispatch is async, so the returned handle lets the host overlap
+        the next GOP's file read + upload with this GOP's device compute
+        (SURVEY.md §2.1 PP row: "host-side async dispatch pipeline").
+        Finish with encode_gop_finish(handle)."""
         cfg = self.cfg
         base_qp = cfg.base_qp if base_qp is None else base_qp
         t0 = time.perf_counter()
         y = jnp.asarray(np.stack([f.y for f in frames]).astype(np.uint8))
         cb = jnp.asarray(np.stack([f.cb for f in frames]).astype(np.uint8))
         cr = jnp.asarray(np.stack([f.cr for f in frames]).astype(np.uint8))
-
         outs = self._run(y, cb, cr, base_qp, xl=False)
+        return dict(
+            frames=frames, first_index=first_index, base_qp=base_qp,
+            y=y, cb=cb, cr=cr, outs=outs, t0=t0,
+        )
+
+    def encode_gop_finish(
+        self, handle
+    ) -> tuple[list[FramePacket], list[FrameStats]]:
+        frames = handle["frames"]
+        first_index = handle["first_index"]
+        t0 = handle["t0"]
+        outs = handle["outs"]
         if bool(outs["ovf"].any()):
-            outs = self._run(y, cb, cr, base_qp, xl=True)
+            outs = self._run(
+                handle["y"], handle["cb"], handle["cr"], handle["base_qp"], xl=True
+            )
 
         bits = np.asarray(outs["bits"])
         qps = np.asarray(outs["qp"])
@@ -288,3 +307,11 @@ class GopEngine:
                 )
             )
         return packets, stats
+
+    def encode_gop(
+        self, frames: list[Frame], first_index: int, base_qp: int | None = None
+    ) -> tuple[list[FramePacket], list[FrameStats]]:
+        """Synchronous upload+encode+download of one GOP."""
+        return self.encode_gop_finish(
+            self.encode_gop_start(frames, first_index, base_qp)
+        )
