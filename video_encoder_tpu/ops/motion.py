@@ -17,7 +17,9 @@ from ..codec import spec
 from .transform import blockify
 
 R = spec.SEARCH_R
-BIG = jnp.int32(1 << 30)
+# Plain int, never jnp.int32: module-scope device scalars get captured as
+# consts by jitted closures, which poisons the axon runtime (see ops/transform.py).
+BIG = 1 << 30
 
 
 def pad_ref(plane: jnp.ndarray, r: int) -> jnp.ndarray:

@@ -14,8 +14,18 @@ import numpy as np
 
 from ..codec import spec
 
-B = jnp.asarray(spec.B_MATRIX, dtype=jnp.int32)
-QSTEP = jnp.asarray(spec.QSTEP, dtype=jnp.int32)
+# Module constants stay NUMPY, never jnp: a device array captured by a jitted
+# closure permanently degrades ALL subsequent program executions on the axon
+# TPU backend (~30-180x; measured 2026-08-18 — einsum w/ captured device const
+# flips the runtime into a slow dispatch mode that never recovers). Numpy
+# consts are embedded as HLO literals at trace time and are safe.
+B = np.asarray(spec.B_MATRIX, dtype=np.int32)
+QSTEP = np.asarray(spec.QSTEP, dtype=np.int32)
+
+
+def qstep(qp: jnp.ndarray) -> jnp.ndarray:
+    """QSTEP table lookup, traced-index safe (constant embedded at trace time)."""
+    return jnp.asarray(QSTEP)[qp]
 
 
 def rshift_round(v: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -59,9 +69,10 @@ def unblockify(blocks: jnp.ndarray) -> jnp.ndarray:
     return blocks.transpose(0, 2, 1, 3).reshape(by * n, bx * n)
 
 
-# Zigzag as a gather; UNZIGZAG scatter for the decoder side.
-ZIGZAG = jnp.asarray(spec.ZIGZAG)
-UNZIGZAG = jnp.asarray(spec.UNZIGZAG)
+# Zigzag as a gather; UNZIGZAG scatter for the decoder side. Numpy consts on
+# purpose (see B above).
+ZIGZAG = np.asarray(spec.ZIGZAG)
+UNZIGZAG = np.asarray(spec.UNZIGZAG)
 
 
 def zigzag(levels_8x8: jnp.ndarray) -> jnp.ndarray:

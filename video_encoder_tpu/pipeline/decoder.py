@@ -75,7 +75,7 @@ class DeviceDecodeEngine:
             pred_cb = jnp.full_like(ref_cb, 128)
             pred_cr = jnp.full_like(ref_cr, 128)
 
-        q = tx.QSTEP[qp_mb][:, :, None, None, None]
+        q = tx.qstep(qp_mb)[:, :, None, None, None]
         deq = tx.dequantize(tx.unzigzag(levels_zz), q)
         resid = tx.inverse_transform(deq)
         yb, cbb, crb = scatter_blocks(resid)
@@ -153,11 +153,11 @@ def _decode_gop_jit():
             pred_cr = jnp.where(
                 m_c, dispatch.mc_fetch_chroma_plane(ref_cr, dy_f >> 1, dx_f >> 1), 128
             )
-            qs = tx.QSTEP[qp_f]
+            qs = tx.qstep(qp_f)
             qy = jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1)
-            qc = qs if cqpo == 0 else tx.QSTEP[
+            qc = qs if cqpo == 0 else tx.qstep(
                 jnp.clip(qp_f + cqpo, spec.QP_MIN, spec.QP_MAX)
-            ]
+            )
             rec_y = recon_plane(xs["ly"].astype(jnp.int32), pred_y, qy)
             rec_cb = recon_plane(xs["lcb"].astype(jnp.int32), pred_cb, qc)
             rec_cr = recon_plane(xs["lcr"].astype(jnp.int32), pred_cr, qc)

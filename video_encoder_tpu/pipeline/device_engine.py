@@ -96,7 +96,7 @@ def encode_frame_device(
     resid_cr = tx.blockify(cur_cr, spec.BLK) - pred_cr
     blocks6 = assemble_blocks(resid_y8, resid_cb, resid_cr)
 
-    q = tx.QSTEP[qp_mb][:, :, None, None, None]
+    q = tx.qstep(qp_mb)[:, :, None, None, None]
     coefs = tx.forward_transform(blocks6)
     levels = tx.quantize(coefs, q)
     levels_zz = tx.zigzag(levels)

@@ -62,11 +62,11 @@ def _code_frame(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
 
     cqpo: v2 chroma QP offset (SPEC.md §12.2); 0 reproduces v1 exactly.
     Returns ((lz_y8 [2nby,2nbx,64], lz_cb, lz_cr), rec_y, rec_cb, rec_cr)."""
-    qs = tx.QSTEP[qp_mb]
+    qs = tx.qstep(qp_mb)
     qy = jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1)
-    qc = qs if cqpo == 0 else tx.QSTEP[
+    qc = qs if cqpo == 0 else tx.qstep(
         jnp.clip(qp_mb + cqpo, spec.QP_MIN, spec.QP_MAX)
-    ]
+    )
     lz_y, rec_y = _code_plane(cur_y, pred_y, qy)
     lz_cb, rec_cb = _code_plane(cur_cb, pred_cb, qc)
     lz_cr, rec_cr = _code_plane(cur_cr, pred_cr, qc)
