@@ -95,17 +95,19 @@ def main():
         cap_words=entropy.capacity_words(n_mbs, 1024), target_bits=0,
     )
     outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
-    jax.block_until_ready(outs)
     if bool(np.asarray(outs["ovf"]).any()):
         print(json.dumps({"metric": "error", "value": 0, "unit": "",
                           "vs_baseline": 0, "note": "capacity overflow"}))
         return
 
+    # Sync by fetching a scalar, not block_until_ready: on the axon backend
+    # block_until_ready returns before execution finishes, so only a host
+    # fetch (in-order execution) gives honest timing.
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
-        jax.block_until_ready(outs)
+    np.asarray(outs["bits"])
     dt = (time.perf_counter() - t0) / reps
     fps = T / dt
 

@@ -20,13 +20,21 @@ from video_encoder_tpu.ops import dispatch, motion, transform as tx
 from video_encoder_tpu.pipeline import gop_engine
 
 
+def _sync(out):
+    """Fetch one leaf to the host: on axon, block_until_ready returns before
+    execution finishes; a host fetch of the last program's output is the only
+    honest sync (programs execute in submission order)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
 def timeit(fn, *args, n=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n * 1e3
 
 
