@@ -72,12 +72,44 @@ def mc_fetch_chroma_plane(ref_c, cdy, cdx):
 
 
 def diamond_search(cur_y, ref_y):
-    """Diamond search: fused single-kernel version on TPU (per-MB while-loop
-    early exit), jnp masked-loop reference elsewhere — bit-exact pair."""
+    """Diamond search: map-descent on TPU (one Pallas pass builds the full
+    ±16 SAD volume on the MXU, then the spec's masked descent runs as
+    vectorized gathers over it), jnp masked-loop reference elsewhere —
+    bit-exact pair because the descent code and the SAD values are shared."""
     if use_pallas():
-        from .pallas import diamond as pdia
+        import jax.numpy as jnp
 
-        return pdia.diamond_search(cur_y, ref_y)
+        from . import motion
+        from .pallas import sad as psad
+
+        r = motion.R
+        ne = motion.R + 1  # 17 even offsets per axis
+        # The large-diamond loop only visits even-even mvs (see
+        # motion.diamond_search_with), so one Pallas pass builds just that
+        # 17x17 sublattice (4x less MXU work than the full ±16 volume).
+        # int32 throughout: a uint16 map would halve scan traffic, but the
+        # axon TPU runtime aborts on large u16 elementwise programs (seen at
+        # 4K); gathers lower to full-map scans on TPU, so every lookup is a
+        # masked reduction and scan size is what matters.
+        meven = psad.sad_map_even(cur_y, ref_y)
+        iota_e = jax.lax.broadcasted_iota(jnp.int32, meven.shape, 2)
+
+        def sad_even(dy, dx):
+            # dy/dx may be [nby, nbx] or batched [K, nby, nbx]: the masked
+            # reduction broadcasts over leading axes, so one fused kernel
+            # evaluates a whole diamond step's candidates.
+            k = ((dy + r) >> 1) * ne + ((dx + r) >> 1)
+            hit = jnp.where(iota_e == k[..., None], meven, 0)
+            return jnp.sum(hit, axis=-1)
+
+        def sad_small(dy, dx):
+            # final ±1 refinement leaves the even lattice: evaluate its four
+            # candidates directly (one sad_at_mv kernel pass each, outside
+            # the descent loop)
+            return psad.sad_at_mv(cur_y, ref_y, dy, dx)
+
+        sad_even.batched = True
+        return motion.diamond_search_with(cur_y, ref_y, sad_even, sad_small)
     from . import motion
 
     return motion.diamond_search(cur_y, ref_y)

@@ -84,9 +84,15 @@ def diamond_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
     )
 
 
-def diamond_search_with(cur_y: jnp.ndarray, ref_y: jnp.ndarray, sad_fn):
+def diamond_search_with(cur_y: jnp.ndarray, ref_y: jnp.ndarray, sad_fn,
+                        sad_fn_small=None):
     """Diamond search parameterized over the per-MB SAD evaluator, so the
-    Pallas kernel can be slotted in on TPU (ops/dispatch.py)."""
+    Pallas kernel can be slotted in on TPU (ops/dispatch.py).
+
+    The large-diamond loop starts at (0,0) and moves one axis by ±2 per
+    step, so every mv it evaluates has BOTH components even; a caller may
+    exploit that with a cheaper evaluator for the loop (sad_fn) and pass the
+    general one as sad_fn_small for the final ±1 refinement step."""
     h, w = cur_y.shape
     nby, nbx = h // spec.MB, w // spec.MB
 
@@ -95,24 +101,24 @@ def diamond_search_with(cur_y: jnp.ndarray, ref_y: jnp.ndarray, sad_fn):
     cost = sad_fn(dy, dx)
     frozen = cost < spec.DIAMOND_EARLY_SAD
 
-    def evaluate(dy, dx, cost, frozen, offsets):
-        cand_cost = [cost]
-        cand_dy, cand_dx = [dy], [dx]
-        for ody, odx in offsets:
-            ndy, ndx = dy + ody, dx + odx
-            valid = (jnp.abs(ndy) <= R) & (jnp.abs(ndx) <= R)
-            c = jnp.where(
-                valid,
-                sad_fn(jnp.clip(ndy, -R, R), jnp.clip(ndx, -R, R)),
-                BIG,
-            )
-            cand_cost.append(c)
-            cand_dy.append(ndy)
-            cand_dx.append(ndx)
-        cc = jnp.stack(cand_cost)
+    def multi(fn, ndy, ndx):
+        """[K, nby, nbx] SADs; one fused call when fn is shape-polymorphic
+        (fn.batched), else K per-candidate calls (the jnp fallback)."""
+        if getattr(fn, "batched", False):
+            return fn(ndy, ndx)
+        return jnp.stack([fn(ndy[i], ndx[i]) for i in range(ndy.shape[0])])
+
+    def evaluate(dy, dx, cost, frozen, offsets, fn):
+        ndy = jnp.stack([dy + ody for ody, _ in offsets])
+        ndx = jnp.stack([dx + odx for _, odx in offsets])
+        valid = (jnp.abs(ndy) <= R) & (jnp.abs(ndx) <= R)
+        cs = multi(fn, jnp.clip(ndy, -R, R), jnp.clip(ndx, -R, R))
+        cc = jnp.concatenate([cost[None], jnp.where(valid, cs, BIG)])
+        cand_dy = jnp.concatenate([dy[None], ndy])
+        cand_dx = jnp.concatenate([dx[None], ndx])
         widx = jnp.argmin(cc, axis=0)  # first occurrence == candidate order
-        wdy = jnp.take_along_axis(jnp.stack(cand_dy), widx[None], 0)[0]
-        wdx = jnp.take_along_axis(jnp.stack(cand_dx), widx[None], 0)[0]
+        wdy = jnp.take_along_axis(cand_dy, widx[None], 0)[0]
+        wdx = jnp.take_along_axis(cand_dx, widx[None], 0)[0]
         wcost = jnp.take_along_axis(cc, widx[None], 0)[0]
         ndy = jnp.where(frozen, dy, wdy)
         ndx = jnp.where(frozen, dx, wdx)
@@ -123,16 +129,24 @@ def diamond_search_with(cur_y: jnp.ndarray, ref_y: jnp.ndarray, sad_fn):
     large = ((-2, 0), (0, -2), (0, 2), (2, 0))
     small = ((-1, 0), (0, -1), (0, 1), (1, 0))
 
-    def body(_, state):
-        dy, dx, cost, frozen = state
-        dy, dx, cost, moved = evaluate(dy, dx, cost, frozen, large)
-        frozen = frozen | ~moved | (cost < spec.DIAMOND_EARLY_SAD)
-        return dy, dx, cost, frozen
+    def cond(state):
+        # a step where every MB is frozen is the identity, so stopping at
+        # all-frozen is bit-exact with the fixed-budget loop
+        step, _, _, _, frozen = state
+        return (step < spec.DIAMOND_MAX_STEPS) & ~jnp.all(frozen)
 
-    dy, dx, cost, frozen = jax.lax.fori_loop(
-        0, spec.DIAMOND_MAX_STEPS, body, (dy, dx, cost, frozen)
+    def body(state):
+        step, dy, dx, cost, frozen = state
+        dy, dx, cost, moved = evaluate(dy, dx, cost, frozen, large, sad_fn)
+        frozen = frozen | ~moved | (cost < spec.DIAMOND_EARLY_SAD)
+        return step + 1, dy, dx, cost, frozen
+
+    _, dy, dx, cost, frozen = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), dy, dx, cost, frozen)
     )
-    dy, dx, cost, _ = evaluate(dy, dx, cost, jnp.zeros_like(frozen), small)
+    dy, dx, cost, _ = evaluate(
+        dy, dx, cost, jnp.zeros_like(frozen), small, sad_fn_small or sad_fn
+    )
     return dy, dx, cost
 
 

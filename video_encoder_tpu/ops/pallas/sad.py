@@ -34,13 +34,23 @@ MB = spec.MB               # 16
 ND = 2 * R + 1             # 33 shifts per axis
 
 
-def _make_full_search_kernel(TM: int, TN: int):
-    """Full-search kernel for a TM x TN-MB tile (TH x TW px)."""
+def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
+                             stride: int = 1):
+    """Full-search kernel for a TM x TN-MB tile (TH x TW px).
+
+    emit_map=True writes the SAD volume per tile (candidate
+    k = ((dy+R)/stride)*NDS + (dx+R)/stride over the stride-subsampled
+    offset lattice, NDS = (ND+stride-1)//stride) instead of reducing to the
+    argmin; the diamond search descends over this map (ops/dispatch.py).
+    stride=2 gives the even-even sublattice, the only mvs the large-diamond
+    loop can visit — 4x less matmul work than the full map."""
+    assert stride == 1 or (emit_map and 8 % stride == 0)
+    NDS = (ND + stride - 1) // stride  # offsets per axis in the emitted map
     TH, TW = TM * MB, TN * MB
     WH, WW = TH + 2 * R, TW + 2 * R
     WWA = TW + 128  # lane-aligned window width for DMA
 
-    def kernel(refpad_hbm, cur_ref, sad_ref, idx_ref, win, rots, diff, sem):
+    def kernel(refpad_hbm, cur_ref, *refs):
         """One dy-row of candidates per loop step, reduced by ONE batched
         matmul.
 
@@ -54,6 +64,10 @@ def _make_full_search_kernel(TM: int, TN: int):
         reproduces the spec's strict-< row-major (dy, dx) first-occurrence
         tie-break exactly (sad <= 65280, index < 1089: the key fits int32).
         """
+        if emit_map:
+            sad_ref, win, rots, diff, sem = refs
+        else:
+            sad_ref, idx_ref, win, rots, diff, sem = refs
         i, j = pl.program_id(0), pl.program_id(1)
         dma = pltpu.make_async_copy(
             refpad_hbm.at[pl.ds(i * TH, WH), pl.ds(j * TW, WWA)], win, sem
@@ -62,11 +76,14 @@ def _make_full_search_kernel(TM: int, TN: int):
         cur = cur_ref[:].astype(jnp.bfloat16)
         dma.wait()
 
-        # 8 row-rotated copies so any dy slice becomes sublane-aligned:
-        # rots[r][q*8 : q*8+TH] == win[q*8+r : q*8+r+TH]  for dy = 8q + r.
+        # row-rotated copies so any visited dy slice becomes sublane-aligned:
+        # rots[r/stride][q*8 : q*8+TH] == win[q*8+r : q*8+r+TH] for dy = 8q+r
+        # (dy is always a stride multiple, so only those remainders occur).
         w0 = win[:]
-        for r in range(8):
-            rots[r] = pltpu.roll(w0, (WH - r) % WH, 0).astype(jnp.bfloat16)
+        for r in range(0, 8, stride):
+            rots[r // stride] = pltpu.roll(w0, (WH - r) % WH, 0).astype(
+                jnp.bfloat16
+            )
 
         # col-block reduction matrix [TW, TN] (0/1, exact in bf16)
         colb = jax.lax.broadcasted_iota(jnp.int32, (TW, TN), 0) // MB
@@ -74,20 +91,36 @@ def _make_full_search_kernel(TM: int, TN: int):
             jnp.bfloat16
         )
 
-        def body(dy, best):
+        def row_sads(dy):
+            """[NDS, TM, TN] f32 SADs for every stride-th dx at this dy,
+            exact (<= 65280)."""
             r = jax.lax.rem(dy, 8)
             q8 = pl.multiple_of(dy - r, 8)
-            strip = rots[r, pl.ds(q8, TH), :]  # [TH, WWA] bf16
-            for dx in range(ND):  # static unroll: lane slices of a value
+            strip = rots[r // stride, pl.ds(q8, TH), :]  # [TH, WWA] bf16
+            for di, dx in enumerate(range(0, ND, stride)):
+                # static unroll: lane slices of a value
                 cand = jax.lax.slice(strip, (0, dx), (TH, dx + TW))
-                diff[dx] = jnp.abs(cur - cand)
-            d2 = diff[:].reshape(ND * TH, TW)
-            colsum = jax.lax.dot_general(  # [ND*TH, TN] f32, exact (<= 4080)
+                diff[di] = jnp.abs(cur - cand)
+            d2 = diff[:].reshape(NDS * TH, TW)
+            colsum = jax.lax.dot_general(  # [NDS*TH, TN] f32, exact (<= 4080)
                 d2, right, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             # 16-row sums per MB: f32 exact (<= 65280)
-            sad = jnp.sum(colsum.reshape(ND, TM, MB, TN), axis=2)
+            return jnp.sum(colsum.reshape(NDS, TM, MB, TN), axis=2)
+
+        if emit_map:
+            def map_body(i, carry):
+                sad_ref[0, 0, pl.ds(i * NDS, NDS)] = row_sads(
+                    i * stride
+                ).astype(jnp.int32)
+                return carry
+
+            jax.lax.fori_loop(0, NDS, map_body, jnp.int32(0))
+            return
+
+        def body(dy, best):
+            sad = row_sads(dy)
             k = dy * ND + jax.lax.broadcasted_iota(jnp.int32, (ND, TM, TN), 0)
             key = sad.astype(jnp.int32) * 2048 + k
             return jnp.minimum(best, jnp.min(key, axis=0))
@@ -172,6 +205,73 @@ def full_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
     dy = idx // ND - R
     dx = idx % ND - R
     return dy, dx, sad
+
+
+@functools.lru_cache(maxsize=16)
+def _sad_map_call(nby: int, nbx: int, stride: int):
+    TM, TN = _fs_tile_shape(nby, nbx)
+    kernel, TH, TW, WH, WW, WWA = _make_full_search_kernel(
+        TM, TN, emit_map=True, stride=stride
+    )
+    nds = (ND + stride - 1) // stride
+    ncand = nds * nds
+    gy = -(-nby // TM) * TM
+    gx = -(-nbx // TN) * TN
+
+    def call(cur_p, refpad):
+        return pl.pallas_call(
+            kernel,
+            grid=(gy // TM, gx // TN),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, ncand, TM, TN),
+                lambda i, j: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (gy // TM, gx // TN, ncand, TM, TN), jnp.int32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((WH, WWA), jnp.int32),
+                pltpu.VMEM((8 // stride, WH, WWA), jnp.bfloat16),
+                pltpu.VMEM((nds, TH, TW), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(refpad, cur_p)
+
+    return call, TM, TN, gy, gx, WH, WW, WWA, ncand
+
+
+def _sad_map_impl(cur_y: jnp.ndarray, ref_y: jnp.ndarray, stride: int):
+    h, w = cur_y.shape
+    nby, nbx = h // MB, w // MB
+    call, TM, TN, gy, gx, WH, WW, WWA, ncand = _sad_map_call(nby, nbx, stride)
+    hp, wp = gy * MB, gx * MB
+    cur_p = jnp.pad(cur_y, ((0, hp - h), (0, wp - w)))
+    ref_p = jnp.pad(ref_y, ((0, hp - h), (0, wp - w)), mode="edge")
+    refpad = jnp.pad(ref_p, ((R, R), (R, R + (WWA - WW))), mode="edge")
+    m = call(cur_p, refpad)
+    m = m.transpose(0, 3, 1, 4, 2).reshape(gy, gx, ncand)
+    return m[:nby, :nbx]
+
+
+@jax.jit
+def sad_map(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+    """Full ±16 SAD volume per MB: [nby, nbx, N_CAND] int32 with candidate
+    k = (dy+R)*ND + (dx+R). Same padding/values as full_search, so a descent
+    over this map is bit-exact with per-candidate sad_at evaluation."""
+    return _sad_map_impl(cur_y, ref_y, 1)
+
+
+@jax.jit
+def sad_map_even(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+    """Even-even ±16 SAD sublattice per MB: [nby, nbx, 17*17] int32 with
+    candidate kE = ((dy+R)/2)*17 + (dx+R)/2 — every mv the large-diamond
+    loop can reach (ops/dispatch.py)."""
+    return _sad_map_impl(cur_y, ref_y, 2)
 
 
 def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
