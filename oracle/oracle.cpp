@@ -96,8 +96,11 @@ static void inv_tx(const int32_t d[64], int32_t r[64]) {
     }
 }
 
-static inline int32_t quant1(int32_t c, int32_t q) {
-  int64_t mag = (2LL * std::llabs(c) + q) / (2LL * q);
+static inline int32_t quant1(int32_t c, int32_t q, int bias16) {
+  // bias16 = rounding offset in 16ths of a step; 8 = midpoint (the
+  // historical (2|c|+q)/(2q)), smaller = deadzone. Encoder-side only:
+  // dequantization and the bitstream format are unchanged.
+  int64_t mag = (16LL * std::llabs(c) + (int64_t)bias16 * q) / (16LL * q);
   return c < 0 ? (int32_t)-mag : (int32_t)mag;
 }
 
@@ -204,6 +207,7 @@ struct Config {
   int target_bits;
   int fmt = 1;   // bitstream format (SPEC.md §8 v1 / §12 v2)
   int cqpo = 0;  // v2 chroma QP offset
+  int qbias = 8; // AC quantizer rounding bias /16 (8 = midpoint)
 };
 
 static int64_t sad16(const Plane& cur, const Plane& ref, int my, int mx, int dy, int dx) {
@@ -340,7 +344,8 @@ static void encode_frame(const Config& cfg, bool is_p,
         fwd_tx(resid, coef);
         int32_t qb = b < 4 ? qs : qsc;
         int32_t lv[64];
-        for (int i = 0; i < 64; i++) lv[i] = quant1(coef[i], qb);
+        for (int i = 0; i < 64; i++)
+          lv[i] = quant1(coef[i], qb, i == 0 ? 8 : cfg.qbias);
         for (int k = 0; k < 64; k++) mb.zz[b][k] = lv[ZIGZAG[k]];
         for (int i = 0; i < 64; i++) deq[i] = lv[i] * qb;
         inv_tx(deq, rec);
@@ -749,6 +754,7 @@ int main(int argc, char** argv) {
     int max_frames = argc > 11 ? atoi(argv[11]) : INT32_MAX;
     cfg.fmt = argc > 12 ? atoi(argv[12]) : 1;
     cfg.cqpo = argc > 13 ? atoi(argv[13]) : 0;
+    cfg.qbias = argc > 14 ? atoi(argv[14]) : 8;
 
     FILE* f = fopen(in, "rb");
     if (!f) { perror("open"); return 1; }
@@ -798,10 +804,16 @@ int main(int argc, char** argv) {
     hdr.push_back(cfg.diamond ? 1 : 0);
     put_le32(hdr, n);
     char canon[256];
-    snprintf(canon, sizeof canon,
+    int cl = snprintf(canon, sizeof canon,
              "tvc1:w=%d:h=%d:gop=%d:qp=%d:search=%s:rc=%s:kbps=%d:fps=30/1",
              cfg.w, cfg.h, cfg.gop, cfg.qp, cfg.diamond ? "diamond" : "full",
              cfg.rc == 1 ? "adaptive" : (cfg.rc == 2 ? "bitrate" : "none"), kbps);
+    // must mirror EncoderConfig.canonical() exactly (codec/config.py)
+    if (cfg.fmt != 1)
+      cl += snprintf(canon + cl, sizeof canon - cl, ":v=%d:cqpo=%d",
+                     cfg.fmt, cfg.cqpo);
+    if (cfg.qbias != 8)
+      cl += snprintf(canon + cl, sizeof canon - cl, ":qb=%d", cfg.qbias);
     put_le32(hdr, crc32_simple(canon));
 
     FILE* o = fopen(outp, "wb");

@@ -33,6 +33,7 @@ def cmd_encode(a) -> int:
         width=w, height=h, gop_n=a.gop, base_qp=a.qp, search=a.search,
         rc=a.rc, target_kbps=a.kbps, fps_num=fps[0], fps_den=fps[1],
         format_version=a.format, chroma_qp_offset=a.chroma_qp_offset,
+        quant_bias=a.quant_bias,
     )
     n_frames = a.frames
     if n_frames == 0:
@@ -201,6 +202,9 @@ def main(argv=None) -> int:
     e.add_argument("--engine", choices=["gop", "device", "golden"], default="gop")
     e.add_argument("--format", type=int, choices=[1, 2], default=1,
                    help="bitstream format: 1=TVC1, 2=v2 (mv pred, DC DPCM)")
+    e.add_argument("--quant-bias", type=int, default=8,
+                   help="AC quantizer rounding bias /16; 8=midpoint, "
+                        "lower=deadzone (fewer bits, encoder-side only)")
     e.add_argument("--chroma-qp-offset", type=int, default=0,
                    help="v2 only: chroma QP offset in [-12, 12]")
     e.add_argument("-v", "--verbose", action="store_true")

@@ -27,6 +27,11 @@ class EncoderConfig:
     # prediction, DC DPCM and the chroma QP offset.
     format_version: int = 1
     chroma_qp_offset: int = 0  # v2 only, [-12, 12]
+    # Encoder-side AC quantizer rounding bias in 16ths of a step: 8 =
+    # midpoint (historical behavior), smaller opens a deadzone that trades
+    # a little PSNR for disproportionally fewer AC run/level bits. Decoder
+    # and bitstream format are unaffected.
+    quant_bias: int = 8
     # Parallel layout (SURVEY.md §2.1): devices along the GOP axis and the
     # spatial tile axis of the mesh.
     gop_devices: int = 1
@@ -49,6 +54,8 @@ class EncoderConfig:
             raise ValueError("chroma_qp_offset must be in [-12, 12]")
         if self.format_version == 1 and self.chroma_qp_offset != 0:
             raise ValueError("chroma_qp_offset requires format_version=2")
+        if not (1 <= self.quant_bias <= 8):
+            raise ValueError("quant_bias must be in [1, 8]")
 
     @property
     def intra_only(self) -> bool:
@@ -66,6 +73,8 @@ class EncoderConfig:
         )
         if self.format_version != 1:
             s += f":v={self.format_version}:cqpo={self.chroma_qp_offset}"
+        if self.quant_bias != 8:
+            s += f":qb={self.quant_bias}"
         return s
 
     def config_hash(self) -> int:

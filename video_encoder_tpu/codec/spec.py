@@ -110,11 +110,25 @@ def inverse_transform(c: np.ndarray) -> np.ndarray:
     return rshift_round(u2, TX_SHIFT).astype(np.int32)
 
 
-def quantize(c: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """level = sign(C) * ((2|C| + q) // (2q)); q broadcastable to c."""
+def quantize(c: np.ndarray, q: np.ndarray, bias16_ac: int = 8) -> np.ndarray:
+    """level = sign(C) * ((16|C| + bias*q) // (16q)); q broadcastable to c.
+
+    bias is per coefficient of the [..., 8, 8] block: 8 (midpoint rounding)
+    for the DC coefficient [..., 0, 0], bias16_ac for the 63 ACs.
+    bias16_ac=8 is the historical midpoint quantizer, bit-identical to
+    sign(C)*((2|C|+q)//(2q)); smaller values open a deadzone that drops
+    isolated small ACs (fewer run/level pairs) — an ENCODER-side choice:
+    dequantization and the bitstream are unchanged, any decoder reads the
+    result."""
     c = np.asarray(c, dtype=np.int64)
     q = np.asarray(q, dtype=np.int64)
-    mag = (2 * np.abs(c) + q) // (2 * q)
+    if bias16_ac == 8:  # midpoint: shape-agnostic (historical formula)
+        mag = (2 * np.abs(c) + q) // (2 * q)
+        return np.where(c < 0, -mag, mag).astype(np.int32)
+    assert c.shape[-2:] == (8, 8), "deadzone bias needs [..., 8, 8] blocks"
+    bias = np.full((8, 8), int(bias16_ac), dtype=np.int64)
+    bias[0, 0] = 8
+    mag = (16 * np.abs(c) + bias * q) // (16 * q)
     return np.where(c < 0, -mag, mag).astype(np.int32)
 
 

@@ -49,9 +49,16 @@ def inverse_transform(c: jnp.ndarray) -> jnp.ndarray:
     return rshift_round(u2, spec.TX_SHIFT)
 
 
-def quantize(c: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
-    """level = sign(C) * ((2|C| + q) // (2q)). |C| ≤ 4095 so int32 is safe."""
-    mag = (2 * jnp.abs(c) + q) // (2 * q)
+def quantize(c: jnp.ndarray, q: jnp.ndarray, bias16_ac: int = 8) -> jnp.ndarray:
+    """level = sign(C) * ((16|C| + bias*q) // (16q)) on [..., 8, 8] blocks;
+    bias = 8 (midpoint) at the DC position, bias16_ac for ACs — bit-exact
+    with codec/spec.py quantize. 16|C| ≤ 65520 and 16q ≤ 23168: int32 safe."""
+    if bias16_ac == 8:
+        mag = (2 * jnp.abs(c) + q) // (2 * q)
+        return jnp.where(c < 0, -mag, mag)
+    bias = np.full((8, 8), int(bias16_ac), dtype=np.int32)
+    bias[0, 0] = 8
+    mag = (16 * jnp.abs(c) + bias * q) // (16 * q)
     return jnp.where(c < 0, -mag, mag)
 
 

@@ -32,11 +32,12 @@ from ..pipeline.gop_engine import encode_frame_traced
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "search", "rc", "block_words", "cap_words",
-                     "fmt", "cqpo"),
+                     "fmt", "cqpo", "qbias"),
 )
 def encode_ring_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, search, rc, block_words, cap_words, fmt: int = 1, cqpo: int = 0,
+    qbias: int = 8,
 ):
     """y_u8: [T, D, H, W] uint8 pre-rotated so that xs[m] on device d is
     frame m of stream (d - m) mod D. Outputs words/bits in the same rotated
@@ -54,7 +55,7 @@ def encode_ring_jit(
             cur_cb = xs["cb"].astype(jnp.int32)
             cur_cr = xs["cr"].astype(jnp.int32)
             kw = dict(search=search, rc=rc, block_words=block_words,
-                      cap_words=cap_words, fmt=fmt, cqpo=cqpo)
+                      cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias)
             out = jax.lax.cond(
                 xs["m"] > 0,
                 lambda: encode_frame_traced(
@@ -146,6 +147,7 @@ class RingEncoder:
             block_words=entropy.BLOCK_WORDS_MAX,
             cap_words=entropy.max_words(n_mbs),
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
+            qbias=getattr(cfg, "quant_bias", 8),
         )
         assert not bool(np.asarray(outs["ovf"]).any())
         bits = np.asarray(outs["bits"])      # [T, D]

@@ -102,7 +102,7 @@ def encode_frame_tile_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
     *, is_p: bool, rc: str, block_words: int, cap_words: int,
     axis_name: str = "tile", ref_mode: str = "halo",
-    fmt: int = 1, cqpo: int = 0,
+    fmt: int = 1, cqpo: int = 0, qbias: int = 8,
 ):
     """Per-shard frame encode; cur_/ref_ planes are local row shards.
 
@@ -140,7 +140,7 @@ def encode_frame_tile_traced(
 
     (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr = _code_frame(
         cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
-        cqpo if fmt >= 2 else 0,
+        cqpo if fmt >= 2 else 0, qbias,
     )
     # v2 prediction is left-only within MB rows (SPEC.md §12), so the
     # row-sharded pack needs no cross-shard state
@@ -165,7 +165,7 @@ def encode_frame_tile_traced(
 def encode_gop_tiled(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, rc, block_words, cap_words, target_bits, ref_mode="halo",
-    fmt: int = 1, cqpo: int = 0,
+    fmt: int = 1, cqpo: int = 0, qbias: int = 8,
 ):
     """GOP encode with frames row-sharded over the 'tile' mesh axis.
 
@@ -180,7 +180,7 @@ def encode_gop_tiled(
             cur_cb = xs["cb"].astype(jnp.int32)
             cur_cr = xs["cr"].astype(jnp.int32)
             kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
-                      fmt=fmt, cqpo=cqpo)
+                      fmt=fmt, cqpo=cqpo, qbias=qbias)
             out = jax.lax.cond(
                 xs["i"] > 0,
                 lambda: encode_frame_tile_traced(

@@ -47,7 +47,7 @@ def scatter_blocks(blocks6):
 
 def encode_frame_device(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
-    *, is_p: bool, search: str, rc: str, n_words: int,
+    *, is_p: bool, search: str, rc: str, n_words: int, qbias: int = 8,
 ):
     """The full per-frame encode as one traceable function (int32 in/out).
 
@@ -98,7 +98,7 @@ def encode_frame_device(
 
     q = tx.qstep(qp_mb)[:, :, None, None, None]
     coefs = tx.forward_transform(blocks6)
-    levels = tx.quantize(coefs, q)
+    levels = tx.quantize(coefs, q, qbias)
     levels_zz = tx.zigzag(levels)
 
     # reconstruction loop (C14) — shared formulas with the decoder
@@ -137,12 +137,13 @@ class DeviceEngine:
         self._device = device
 
     @functools.lru_cache(maxsize=16)
-    def _compiled(self, shape, is_p: bool, search: str, rc: str):
+    def _compiled(self, shape, is_p: bool, search: str, rc: str, qbias: int = 8):
         hp, wp = shape
         n_mbs = (hp // spec.MB) * (wp // spec.MB)
         n_words = entropy.max_words(n_mbs)
         fn = functools.partial(
-            encode_frame_device, is_p=is_p, search=search, rc=rc, n_words=n_words
+            encode_frame_device, is_p=is_p, search=search, rc=rc,
+            n_words=n_words, qbias=qbias,
         )
         return jax.jit(fn)
 
@@ -151,7 +152,8 @@ class DeviceEngine:
     ) -> FrameEncodeResult:
         is_p = frame_type == 1
         shape = cur.y.shape
-        fn = self._compiled(shape, is_p, cfg.search, cfg.rc)
+        fn = self._compiled(shape, is_p, cfg.search, cfg.rc,
+                            getattr(cfg, "quant_bias", 8))
         if ref is None:
             ref = cur  # unused by the I-frame path; keeps signatures uniform
         out = fn(

@@ -39,7 +39,7 @@ def _block_words_for_qp(qp: int) -> int:
     return entropy.BLOCK_WORDS_MAX
 
 
-def _code_plane(cur, pred, q_blk):
+def _code_plane(cur, pred, q_blk, qbias: int = 8):
     """Transform→quant→zigzag→recon of one plane (C9–C11, C14).
 
     q_blk: per-8x8-block quantizer steps [H/8, W/8]. Keeping planes separate
@@ -50,26 +50,27 @@ def _code_plane(cur, pred, q_blk):
     resid = tx.blockify(cur - pred, spec.BLK)
     q = q_blk[:, :, None, None]
     coefs = tx.forward_transform(resid)
-    lz = tx.zigzag(tx.quantize(coefs, q))
+    lz = tx.zigzag(tx.quantize(coefs, q, qbias))
     deq = tx.dequantize(tx.unzigzag(lz), q)
     rec = jnp.clip(tx.unblockify(tx.inverse_transform(deq)) + pred, 0, 255)
     return lz, rec
 
 
 def _code_frame(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
-                cqpo: int = 0):
+                cqpo: int = 0, qbias: int = 8):
     """Shared transform→quant→zigzag→recon stages, per plane.
 
     cqpo: v2 chroma QP offset (SPEC.md §12.2); 0 reproduces v1 exactly.
+    qbias: encoder-side AC quantizer rounding bias (codec/config.py).
     Returns ((lz_y8 [2nby,2nbx,64], lz_cb, lz_cr), rec_y, rec_cb, rec_cr)."""
     qs = tx.qstep(qp_mb)
     qy = jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1)
     qc = qs if cqpo == 0 else tx.qstep(
         jnp.clip(qp_mb + cqpo, spec.QP_MIN, spec.QP_MAX)
     )
-    lz_y, rec_y = _code_plane(cur_y, pred_y, qy)
-    lz_cb, rec_cb = _code_plane(cur_cb, pred_cb, qc)
-    lz_cr, rec_cr = _code_plane(cur_cr, pred_cr, qc)
+    lz_y, rec_y = _code_plane(cur_y, pred_y, qy, qbias)
+    lz_cb, rec_cb = _code_plane(cur_cb, pred_cb, qc, qbias)
+    lz_cr, rec_cr = _code_plane(cur_cr, pred_cr, qc, qbias)
     return (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr
 
 
@@ -81,9 +82,9 @@ def _sse(a, b):
 def encode_frame_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
     *, is_p: bool, search: str, rc: str, block_words: int, cap_words: int,
-    fmt: int = 1, cqpo: int = 0,
+    fmt: int = 1, cqpo: int = 0, qbias: int = 8,
 ):
-    """One frame, traceable; is_p/search/rc/fmt/cqpo are static.
+    """One frame, traceable; is_p/search/rc/fmt/cqpo/qbias are static.
 
     fmt=2 selects the SPEC.md §12 syntax (left-MV prediction, DC DPCM,
     chroma QP offset); the search/recon math is format-independent."""
@@ -117,7 +118,7 @@ def encode_frame_traced(
 
     (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr = _code_frame(
         cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
-        cqpo if fmt >= 2 else 0,
+        cqpo if fmt >= 2 else 0, qbias,
     )
 
     pack = entropy.pack_frame_planes_v2 if fmt >= 2 else entropy.pack_frame_planes
@@ -141,12 +142,12 @@ def encode_frame_traced(
 @functools.partial(
     jax.jit,
     static_argnames=("search", "rc", "block_words", "cap_words", "target_bits",
-                     "fmt", "cqpo"),
+                     "fmt", "cqpo", "qbias"),
 )
 def encode_gop_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, search: str, rc: str, block_words: int, cap_words: int,
-    target_bits: int, fmt: int = 1, cqpo: int = 0,
+    target_bits: int, fmt: int = 1, cqpo: int = 0, qbias: int = 8,
 ):
     """Encode a [T, ...] uint8 GOP on device. Returns stacked per-frame
     outputs (words/bits/ovf/qp/n_inter/sse)."""
@@ -160,7 +161,7 @@ def encode_gop_jit(
         idx = xs["i"]
 
         kw = dict(search=search, rc=rc, block_words=block_words,
-                  cap_words=cap_words, fmt=fmt, cqpo=cqpo)
+                  cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias)
         out = jax.lax.cond(
             idx > 0,
             lambda: encode_frame_traced(
@@ -228,6 +229,7 @@ class GopEngine:
             search=cfg.search, rc=cfg.rc, block_words=bw,
             cap_words=cap, target_bits=cfg.target_bits_per_frame(),
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
+            qbias=getattr(cfg, "quant_bias", 8),
         )
 
     def encode_gop_start(
