@@ -203,8 +203,9 @@ static uint32_t get_le32(const uint8_t* p) { return p[0] | (p[1] << 8) | (p[2] <
 struct Config {
   int w, h, gop, qp;
   bool diamond;
-  int rc;  // 0 none, 1 adaptive, 2 bitrate
+  int rc;  // 0 none, 1 adaptive, 2 bitrate, 3 vbv
   int target_bits;
+  int vbv_bits = 0;  // rc=3 buffer size (0 -> 8x per-frame target)
   int fmt = 1;   // bitstream format (SPEC.md §8 v1 / §12 v2)
   int cqpo = 0;  // v2 chroma QP offset
   int qbias = 8; // AC quantizer rounding bias /16 (8 = midpoint)
@@ -748,13 +749,17 @@ int main(int argc, char** argv) {
     cfg.gop = atoi(argv[6]); cfg.qp = atoi(argv[7]);
     cfg.diamond = std::string(argv[8]) == "diamond";
     std::string rcs = argv[9];
-    cfg.rc = rcs == "adaptive" ? 1 : (rcs == "bitrate" ? 2 : 0);
+    cfg.rc = rcs == "adaptive" ? 1
+           : (rcs == "bitrate" ? 2 : (rcs == "vbv" ? 3 : 0));
     int kbps = argc > 10 ? atoi(argv[10]) : 0;
     cfg.target_bits = kbps > 0 ? kbps * 1000 / 30 : 0;
     int max_frames = argc > 11 ? atoi(argv[11]) : INT32_MAX;
     cfg.fmt = argc > 12 ? atoi(argv[12]) : 1;
     cfg.cqpo = argc > 13 ? atoi(argv[13]) : 0;
     cfg.qbias = argc > 14 ? atoi(argv[14]) : 8;
+    int vbv_kbits = argc > 15 ? atoi(argv[15]) : 0;
+    cfg.vbv_bits = cfg.rc == 3
+        ? (vbv_kbits > 0 ? vbv_kbits * 1000 : 8 * cfg.target_bits) : 0;
 
     FILE* f = fopen(in, "rb");
     if (!f) { perror("open"); return 1; }
@@ -764,12 +769,16 @@ int main(int argc, char** argv) {
     std::vector<int> ftypes, fqps;
     Plane ry, rcb, rcr;
     int base_qp = cfg.qp;
+    int64_t fullness = 0;
     int n = 0;
     auto t0 = std::chrono::steady_clock::now();
     while (n < max_frames && fread(buf.data(), 1, fsz, f) == fsz) {
       int pos = n % cfg.gop;
       bool is_p = pos != 0;
-      if (!is_p) base_qp = cfg.qp;  // RC state resets at GOP boundary
+      if (!is_p) {  // RC state resets at GOP boundary
+        base_qp = cfg.qp;
+        fullness = cfg.vbv_bits / 2;
+      }
       Plane cy = pad_to(buf.data(), cfg.w, cfg.h, 16);
       Plane ccb = pad_to(buf.data() + (size_t)cfg.w * cfg.h, cfg.w / 2, cfg.h / 2, 8);
       Plane ccr = pad_to(buf.data() + (size_t)cfg.w * cfg.h * 5 / 4, cfg.w / 2, cfg.h / 2, 8);
@@ -780,8 +789,24 @@ int main(int argc, char** argv) {
       fqps.push_back(base_qp);
       if (cfg.rc == 2 && cfg.target_bits > 0) {
         int64_t t = cfg.target_bits;
-        int64_t d = ((int64_t)fo.bits - t) * 4 / t;
+        // floor division (Python //), not C truncation: matters when
+        // bits < target and the quotient is a small negative
+        int64_t num = ((int64_t)fo.bits - t) * 4;
+        int64_t d = num / t; if (num % t != 0 && num < 0) d -= 1;
         if (d < -2) d = -2; if (d > 2) d = 2;
+        base_qp += (int)d;
+        if (base_qp < 1) base_qp = 1; if (base_qp > 63) base_qp = 63;
+      } else if (cfg.rc == 3 && cfg.target_bits > 0) {
+        // spec.vbv_next verbatim (SPEC.md par.10)
+        int64_t t = cfg.target_bits;
+        int64_t b = cfg.vbv_bits;
+        fullness += t - (int64_t)fo.bits;
+        if (fullness < 0) fullness = 0; if (fullness > b) fullness = b;
+        int64_t num = ((int64_t)fo.bits - t) * 4;
+        int64_t d = num / t; if (num % t != 0 && num < 0) d -= 1;
+        if (d < -2) d = -2; if (d > 2) d = 2;
+        if (fullness < b / 4) d += 1;
+        if (fullness > 3 * b / 4) d -= 1;
         base_qp += (int)d;
         if (base_qp < 1) base_qp = 1; if (base_qp > 63) base_qp = 63;
       }
@@ -807,13 +832,17 @@ int main(int argc, char** argv) {
     int cl = snprintf(canon, sizeof canon,
              "tvc1:w=%d:h=%d:gop=%d:qp=%d:search=%s:rc=%s:kbps=%d:fps=30/1",
              cfg.w, cfg.h, cfg.gop, cfg.qp, cfg.diamond ? "diamond" : "full",
-             cfg.rc == 1 ? "adaptive" : (cfg.rc == 2 ? "bitrate" : "none"), kbps);
+             cfg.rc == 1 ? "adaptive"
+               : (cfg.rc == 2 ? "bitrate" : (cfg.rc == 3 ? "vbv" : "none")),
+             kbps);
     // must mirror EncoderConfig.canonical() exactly (codec/config.py)
     if (cfg.fmt != 1)
       cl += snprintf(canon + cl, sizeof canon - cl, ":v=%d:cqpo=%d",
                      cfg.fmt, cfg.cqpo);
     if (cfg.qbias != 8)
       cl += snprintf(canon + cl, sizeof canon - cl, ":qb=%d", cfg.qbias);
+    if (cfg.rc == 3)
+      cl += snprintf(canon + cl, sizeof canon - cl, ":vbv=%d", vbv_kbits);
     put_le32(hdr, crc32_simple(canon));
 
     FILE* o = fopen(outp, "wb");

@@ -33,7 +33,7 @@ def cmd_encode(a) -> int:
         width=w, height=h, gop_n=a.gop, base_qp=a.qp, search=a.search,
         rc=a.rc, target_kbps=a.kbps, fps_num=fps[0], fps_den=fps[1],
         format_version=a.format, chroma_qp_offset=a.chroma_qp_offset,
-        quant_bias=a.quant_bias,
+        quant_bias=a.quant_bias, vbv_kbits=a.vbv_kbits,
     )
     n_frames = a.frames
     if n_frames == 0:
@@ -53,14 +53,33 @@ def cmd_encode(a) -> int:
     else:  # "gop" — the production GOP-resident path
         engine = None
 
+    on_frame = (lambda s: print(s.to_json(), file=sys.stderr)) if a.verbose else None
     t0 = time.perf_counter()
     with open(a.output, "wb") as fo:
-        if engine is None:
+        if a.two_pass:
+            import dataclasses
+
+            from .pipeline.encoder import encode_clip_twopass
+
+            if a.kbps <= 0:
+                print("error: --two-pass requires --kbps", file=sys.stderr)
+                return 2
+            if cfg.rc == "none":
+                cfg = dataclasses.replace(cfg, rc="bitrate")
+            if engine is None and cfg.format_version == 1:
+                from .pipeline.device_engine import DeviceEngine
+
+                engine = DeviceEngine()  # per-frame engine for the 2 passes
+            summary = encode_clip_twopass(
+                cfg, lambda: yuv.open_clip(a.input, a.width, a.height)[3],
+                fo, n_frames, engine=engine, on_frame=on_frame,
+            )
+        elif engine is None:
             summary = _encode_gop_resident(cfg, frames, fo, n_frames, a.verbose)
         else:
             summary = encode_clip(
                 cfg, frames, fo, n_frames, engine=engine,
-                on_frame=(lambda s: print(s.to_json(), file=sys.stderr)) if a.verbose else None,
+                on_frame=on_frame,
             )
     wall = time.perf_counter() - t0
     out = json.loads(summary.to_json())
@@ -196,8 +215,14 @@ def main(argv=None) -> int:
     e.add_argument("--gop", type=int, default=30)
     e.add_argument("--qp", type=int, default=28)
     e.add_argument("--search", choices=["full", "diamond"], default="diamond")
-    e.add_argument("--rc", choices=["none", "adaptive", "bitrate"], default="none")
+    e.add_argument("--rc", choices=["none", "adaptive", "bitrate", "vbv"],
+                   default="none")
     e.add_argument("--kbps", type=int, default=0)
+    e.add_argument("--vbv-kbits", type=int, default=0,
+                   help="rc=vbv buffer size (0 = 8x per-frame target)")
+    e.add_argument("--two-pass", action="store_true",
+                   help="two-pass GOP-level rate allocation (needs --kbps; "
+                        "reads the input twice)")
     e.add_argument("--frames", type=int, default=0, help="0 = all")
     e.add_argument("--engine", choices=["gop", "device", "golden"], default="gop")
     e.add_argument("--format", type=int, choices=[1, 2], default=1,

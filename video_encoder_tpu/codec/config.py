@@ -19,8 +19,9 @@ class EncoderConfig:
     gop_n: int = 30            # GOP length; 1 = intra-only [B:7,8]
     base_qp: int = 28          # QP in [1, 63]
     search: str = "full"       # "full" (±16 exhaustive) or "diamond" [B:8,9]
-    rc: str = "none"           # "none" | "adaptive" | "bitrate" (SPEC.md §10)
-    target_kbps: int = 0       # rc="bitrate" only
+    rc: str = "none"           # "none"|"adaptive"|"bitrate"|"vbv" (SPEC.md §10)
+    target_kbps: int = 0       # rc="bitrate"/"vbv" only
+    vbv_kbits: int = 0         # rc="vbv" buffer size; 0 = 8x per-frame target
     fps_num: int = 30          # timing for bitrate RC budget
     fps_den: int = 1
     # Bitstream format (SPEC.md §8 v1 / §12 v2). v2 adds left-MV
@@ -44,8 +45,12 @@ class EncoderConfig:
             raise ValueError("base_qp must be in [1, 63]")
         if self.search not in ("full", "diamond"):
             raise ValueError(f"unknown search mode {self.search!r}")
-        if self.rc not in ("none", "adaptive", "bitrate"):
+        if self.rc not in ("none", "adaptive", "bitrate", "vbv"):
             raise ValueError(f"unknown rc mode {self.rc!r}")
+        if self.rc == "vbv" and self.target_kbps <= 0:
+            raise ValueError("rc='vbv' requires target_kbps > 0")
+        if self.vbv_kbits < 0:
+            raise ValueError("vbv_kbits must be >= 0")
         if self.gop_n < 1:
             raise ValueError("gop_n must be >= 1")
         if self.format_version not in (1, 2):
@@ -75,12 +80,22 @@ class EncoderConfig:
             s += f":v={self.format_version}:cqpo={self.chroma_qp_offset}"
         if self.quant_bias != 8:
             s += f":qb={self.quant_bias}"
+        if self.rc == "vbv":
+            s += f":vbv={self.vbv_kbits}"
         return s
 
     def config_hash(self) -> int:
         return zlib.crc32(self.canonical().encode()) & 0xFFFFFFFF
 
     def target_bits_per_frame(self) -> int:
-        if self.rc != "bitrate" or self.target_kbps <= 0:
+        if self.rc not in ("bitrate", "vbv") or self.target_kbps <= 0:
             return 0
         return (self.target_kbps * 1000 * self.fps_den) // self.fps_num
+
+    def vbv_bits(self) -> int:
+        """rc=vbv buffer size in bits (0 when vbv is off)."""
+        if self.rc != "vbv":
+            return 0
+        if self.vbv_kbits > 0:
+            return self.vbv_kbits * 1000
+        return 8 * self.target_bits_per_frame()

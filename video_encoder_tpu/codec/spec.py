@@ -191,6 +191,36 @@ def bitrate_next_qp(qp: int, bits_spent: int, target_bits: int) -> int:
     return max(QP_MIN, min(QP_MAX, qp + delta))
 
 
+def vbv_init(vbv_bits: int) -> int:
+    """rc=vbv buffer fullness at a GOP start (half full; GOP-local so GOPs
+    stay closed under the data-parallel sharding, SPEC.md §10)."""
+    return vbv_bits // 2
+
+
+def vbv_next(qp: int, fullness: int, bits_spent: int, target_bits: int,
+             vbv_bits: int) -> tuple[int, int]:
+    """rc=vbv frame-level update: the bitrate proportional term plus a
+    buffer-pressure term. Exact integer arithmetic; the device scan
+    (pipeline/gop_engine.py), the host loop (pipeline/encoder.py) and the
+    C++ oracle implement this formula verbatim.
+
+      fullness' = clip(fullness + target - bits, 0, vbv)
+      delta     = clip((bits - target)*4 // target, -2, 2)
+                  + (fullness' <  vbv/4)           # draining -> coarser
+                  - (fullness' > 3*vbv/4)          # filling  -> finer
+      qp'       = clip(qp + delta, QP_MIN, QP_MAX)
+    """
+    t = max(target_bits, 1)
+    f = fullness + target_bits - bits_spent
+    f = max(0, min(vbv_bits, f))
+    delta = max(-2, min(2, ((bits_spent - target_bits) * 4) // t))
+    if f < vbv_bits // 4:
+        delta += 1
+    if f > (3 * vbv_bits) // 4:
+        delta -= 1
+    return max(QP_MIN, min(QP_MAX, qp + delta)), f
+
+
 # --------------------------------------------------------------------------
 # Geometry helpers
 # --------------------------------------------------------------------------

@@ -165,7 +165,7 @@ def encode_frame_tile_traced(
 def encode_gop_tiled(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, rc, block_words, cap_words, target_bits, ref_mode="halo",
-    fmt: int = 1, cqpo: int = 0, qbias: int = 8,
+    fmt: int = 1, cqpo: int = 0, qbias: int = 8, vbv_bits: int = 0,
 ):
     """GOP encode with frames row-sharded over the 'tile' mesh axis.
 
@@ -175,7 +175,7 @@ def encode_gop_tiled(
 
     def per_shard(y, cb, cr):
         def body(carry, xs):
-            ref_y, ref_cb, ref_cr, qp = carry
+            ref_y, ref_cb, ref_cr, qp, fullness = carry
             cur_y = xs["y"].astype(jnp.int32)
             cur_cb = xs["cb"].astype(jnp.int32)
             cur_cr = xs["cr"].astype(jnp.int32)
@@ -197,7 +197,19 @@ def encode_gop_tiled(
                 t = max(target_bits, 1)
                 delta = jnp.clip(((out["frame_bits"] - t) * 4) // t, -2, 2)
                 qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
-            carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp)
+            elif rc == "vbv" and target_bits > 0:
+                # spec.vbv_next on the psum'd frame total, so every tile
+                # shard derives the identical next qp
+                t = max(target_bits, 1)
+                f = jnp.clip(fullness + target_bits - out["frame_bits"],
+                             0, vbv_bits)
+                delta = jnp.clip(((out["frame_bits"] - target_bits) * 4) // t,
+                                 -2, 2)
+                delta = (delta + (f < vbv_bits // 4).astype(jnp.int32)
+                         - (f > (3 * vbv_bits) // 4).astype(jnp.int32))
+                qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
+                fullness = f
+            carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp, fullness)
             emit = dict(words=out["words"], bits=out["bits"], ovf=out["ovf"],
                         n_inter=out["n_inter"], qp=qp_used)
             return carry, emit
@@ -208,6 +220,7 @@ def encode_gop_tiled(
             jnp.zeros(cb.shape[1:], jnp.int32),
             jnp.zeros(cr.shape[1:], jnp.int32),
             jnp.asarray(base_qp, jnp.int32),
+            jnp.asarray(spec.vbv_init(vbv_bits), jnp.int32),
         )
         xs = dict(y=y, cb=cb, cr=cr, i=jnp.arange(t_frames, dtype=jnp.int32))
         _, outs = jax.lax.scan(body, init, xs)

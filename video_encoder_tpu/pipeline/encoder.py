@@ -51,6 +51,8 @@ def encode_gop(
     packets, stats = [], []
     base_qp = cfg.base_qp
     target_bits = cfg.target_bits_per_frame()
+    vbv_bits = cfg.vbv_bits()
+    fullness = spec.vbv_init(vbv_bits)
     ref: Frame | None = None
     for k, cur in enumerate(frames):
         ftype = 0 if k == 0 else 1
@@ -75,6 +77,10 @@ def encode_gop(
             stats.append(s)
         if cfg.rc == "bitrate" and target_bits > 0:
             base_qp = spec.bitrate_next_qp(base_qp, res.payload_bits, target_bits)
+        elif cfg.rc == "vbv" and target_bits > 0:
+            base_qp, fullness = spec.vbv_next(
+                base_qp, fullness, res.payload_bits, target_bits, vbv_bits
+            )
         ref = res.recon
     return packets, stats
 
@@ -201,5 +207,106 @@ def encode_clip(
         if len(gop) == cfg.gop_n:
             flush()
     flush()
+    mux.close()
+    return summary
+
+
+def allocate_gop_qps(
+    base_qp: int,
+    gop_bits: list[int],
+    gop_lens: list[int],
+    target_bits_per_frame: int,
+    alpha: float = 0.6,
+) -> list[int]:
+    """Two-pass GOP-level allocation (reference component C15, extended).
+
+    gop_bits are pass-1 sizes at constant base_qp (the complexity measure).
+    Each GOP's budget is proportional to complexity**alpha (alpha < 1
+    flattens quality across easy/hard content; alpha = 1 reproduces
+    constant qp). QSTEP doubles every 6 qp (SPEC.md §4), so rate roughly
+    halves per +6 qp: qp_g = base_qp + round(6*log2(bits_g / budget_g)).
+    Host-side floats only — pass-2 encoding stays exact-integer.
+    """
+    import math
+
+    total_target = target_bits_per_frame * sum(gop_lens)
+    c = [max(float(b), 1.0) ** alpha for b in gop_bits]
+    csum = sum(c)
+    qps = []
+    for b, ci in zip(gop_bits, c):
+        budget = max(total_target * ci / csum, 1.0)
+        qp = base_qp + int(round(6 * math.log2(max(float(b), 1.0) / budget)))
+        qps.append(max(spec.QP_MIN, min(spec.QP_MAX, qp)))
+    return qps
+
+
+def encode_clip_twopass(
+    cfg: EncoderConfig,
+    open_frames: Callable[[], Iterable[tuple[np.ndarray, np.ndarray, np.ndarray]]],
+    out: BinaryIO,
+    n_frames: int,
+    engine=None,
+    alpha: float = 0.6,
+    on_frame: Callable[[FrameStats], None] | None = None,
+) -> RunSummary:
+    """Two-pass clip encode: pass 1 measures per-GOP complexity at constant
+    cfg.base_qp, pass 2 re-encodes each GOP at its allocated qp so the clip
+    lands on cfg.target_kbps. Needs rc='bitrate' or 'vbv' semantics only for
+    the target; within a GOP pass 2 runs at the allocated constant qp, so
+    GOPs stay closed and shardable.
+
+    open_frames: zero-arg callable returning a fresh frame iterable (the
+    clip is read twice — files, not generators).
+    """
+    import dataclasses
+
+    target = cfg.target_bits_per_frame()
+    if target <= 0:
+        raise ValueError("two-pass needs target_kbps > 0 (rc='bitrate'|'vbv')")
+    cfg_cq = dataclasses.replace(cfg, rc="none", target_kbps=0, vbv_kbits=0)
+    engine = engine or GoldenEngine()
+
+    def gops():
+        gop: list[Frame] = []
+        count = 0
+        for y, cb, cr in open_frames():
+            if count >= n_frames:
+                break
+            gop.append(Frame.from_planes(y, cb, cr))
+            count += 1
+            if len(gop) == cfg.gop_n:
+                yield gop
+                gop = []
+        if gop:
+            yield gop
+
+    # pass 1: constant-qp sizes per GOP
+    gop_bits: list[int] = []
+    gop_lens: list[int] = []
+    start = 0
+    for g in gops():
+        _, stats = encode_gop(cfg_cq, engine, g, len(gop_bits), start,
+                              collect_stats=True)
+        gop_bits.append(sum(s.bits for s in stats))
+        gop_lens.append(len(g))
+        start += len(g)
+
+    qps = allocate_gop_qps(cfg.base_qp, gop_bits, gop_lens, target, alpha)
+
+    # pass 2: allocated qp per GOP, in-order mux under the ORIGINAL config
+    # (the stream header hash reflects what the user asked for)
+    mux = OrderedMux(out, cfg, n_frames)
+    summary = RunSummary()
+    start = 0
+    for gi, g in enumerate(gops()):
+        cfg_g = dataclasses.replace(cfg_cq, base_qp=qps[gi])
+        packets, stats = encode_gop(cfg_g, engine, g, gi, start)
+        for p in packets:
+            mux.push(p)
+        for s in stats:
+            summary.add(s)
+            if on_frame:
+                on_frame(s)
+        start += len(g)
     mux.close()
     return summary

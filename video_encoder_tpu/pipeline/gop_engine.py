@@ -142,19 +142,20 @@ def encode_frame_traced(
 @functools.partial(
     jax.jit,
     static_argnames=("search", "rc", "block_words", "cap_words", "target_bits",
-                     "fmt", "cqpo", "qbias"),
+                     "fmt", "cqpo", "qbias", "vbv_bits"),
 )
 def encode_gop_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, search: str, rc: str, block_words: int, cap_words: int,
     target_bits: int, fmt: int = 1, cqpo: int = 0, qbias: int = 8,
+    vbv_bits: int = 0,
 ):
     """Encode a [T, ...] uint8 GOP on device. Returns stacked per-frame
     outputs (words/bits/ovf/qp/n_inter/sse)."""
     t_frames = y_u8.shape[0]
 
     def body(carry, xs):
-        ref_y, ref_cb, ref_cr, qp = carry
+        ref_y, ref_cb, ref_cr, qp, fullness = carry
         cur_y = xs["y"].astype(jnp.int32)
         cur_cb = xs["cb"].astype(jnp.int32)
         cur_cr = xs["cr"].astype(jnp.int32)
@@ -176,7 +177,16 @@ def encode_gop_jit(
             t = max(target_bits, 1)
             delta = jnp.clip(((out["bits"] - t) * 4) // t, -2, 2)
             qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
-        carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp)
+        elif rc == "vbv" and target_bits > 0:
+            # spec.vbv_next verbatim (jnp // floors like Python //)
+            t = max(target_bits, 1)
+            f = jnp.clip(fullness + target_bits - out["bits"], 0, vbv_bits)
+            delta = jnp.clip(((out["bits"] - target_bits) * 4) // t, -2, 2)
+            delta = (delta + (f < vbv_bits // 4).astype(jnp.int32)
+                     - (f > (3 * vbv_bits) // 4).astype(jnp.int32))
+            qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
+            fullness = f
+        carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp, fullness)
         emit = dict(
             words=out["words"], bits=out["bits"], ovf=out["ovf"],
             n_inter=out["n_inter"], qp=qp_used, sse=out["sse"],
@@ -188,6 +198,7 @@ def encode_gop_jit(
         jnp.zeros(cb_u8.shape[1:], jnp.int32),
         jnp.zeros(cr_u8.shape[1:], jnp.int32),
         jnp.asarray(base_qp, jnp.int32),
+        jnp.asarray(spec.vbv_init(vbv_bits), jnp.int32),
     )
     xs = dict(
         y=y_u8, cb=cb_u8, cr=cr_u8, i=jnp.arange(t_frames, dtype=jnp.int32)
@@ -229,7 +240,7 @@ class GopEngine:
             search=cfg.search, rc=cfg.rc, block_words=bw,
             cap_words=cap, target_bits=cfg.target_bits_per_frame(),
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
-            qbias=getattr(cfg, "quant_bias", 8),
+            qbias=getattr(cfg, "quant_bias", 8), vbv_bits=cfg.vbv_bits(),
         )
 
     def encode_gop_start(
