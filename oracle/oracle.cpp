@@ -9,7 +9,7 @@
 // states it, with none of the TPU-side vectorization tricks, so disagreement
 // between this and the device paths localizes bugs immediately.
 //
-//   oracle encode <in.yuv> <out.tvc> <W> <H> <gop> <qp> <full|diamond>
+//   oracle encode <in.yuv> <out.tvc> <W> <H> <gop> <qp> <full|diamond|hier>
 //                 <none|adaptive|bitrate> <target_kbps> [max_frames]
 //   oracle decode <in.tvc> <out.yuv>
 //
@@ -202,7 +202,7 @@ static uint32_t get_le32(const uint8_t* p) { return p[0] | (p[1] << 8) | (p[2] <
 // --------------------------------------------------------------- encoder ---
 struct Config {
   int w, h, gop, qp;
-  bool diamond;
+  int search;  // 0 full, 1 diamond, 2 hier (SPEC.md §9)
   int rc;  // 0 none, 1 adaptive, 2 bitrate, 3 vbv
   int target_bits;
   int vbv_bits = 0;  // rc=3 buffer size (0 -> 8x per-frame target)
@@ -210,6 +210,29 @@ struct Config {
   int cqpo = 0;  // v2 chroma QP offset
   int qbias = 8; // AC quantizer rounding bias /16 (8 = midpoint)
 };
+
+static Plane down2(const Plane& p) {
+  // 2x2 box downsample, round half up (SPEC.md §9 hier; = spec.down2)
+  Plane q; q.w = p.w / 2; q.h = p.h / 2;
+  q.px.resize((size_t)q.w * q.h);
+  for (int i = 0; i < q.h; i++)
+    for (int j = 0; j < q.w; j++)
+      q.at(i, j) = (p.at(2 * i, 2 * j) + p.at(2 * i, 2 * j + 1) +
+                    p.at(2 * i + 1, 2 * j) + p.at(2 * i + 1, 2 * j + 1) + 2) >> 2;
+  return q;
+}
+
+static int64_t sad4q(const Plane& cq, const Plane& rq, int my, int mx,
+                     int dy, int dx) {
+  // SAD of MB (my, mx)'s 4x4 quarter-res block at offset (dy, dx);
+  // clamped() == the edge-padded quarter reference
+  int64_t s = 0;
+  for (int i = 0; i < 4; i++)
+    for (int j = 0; j < 4; j++)
+      s += std::llabs(cq.at(my * 4 + i, mx * 4 + j) -
+                      rq.clamped(my * 4 + dy + i, mx * 4 + dx + j));
+  return s;
+}
 
 static int64_t sad16(const Plane& cur, const Plane& ref, int my, int mx, int dy, int dx) {
   int64_t s = 0;
@@ -238,6 +261,12 @@ static void encode_frame(const Config& cfg, bool is_p,
   int nby = cy.h / 16, nbx = cy.w / 16;
   std::vector<MB> mbs((size_t)nby * nbx);
   Plane ref_y = ry, ref_cb = rcb, ref_cr = rcr;
+  // hier search: 4x-downsampled planes, once per frame (SPEC.md §9)
+  Plane cq, rq;
+  if (cfg.search == 2 && is_p) {
+    cq = down2(down2(cy));
+    rq = down2(down2(ref_y));
+  }
   // v2 DC DPCM grids (SPEC.md §12.4): quantized DC level per plane block
   std::vector<int32_t> dcy((size_t)4 * nby * nbx, 0);
   std::vector<int32_t> dcc0((size_t)nby * nbx, 0), dcc1((size_t)nby * nbx, 0);
@@ -259,12 +288,36 @@ static void encode_frame(const Config& cfg, bool is_p,
       if (is_p) {
         int64_t best = INT64_MAX;
         int bdy = 0, bdx = 0;
-        if (!cfg.diamond) {
+        if (cfg.search == 0) {
           for (int dy = -16; dy <= 16; dy++)
             for (int dx = -16; dx <= 16; dx++) {
               int64_t s = sad16(cy, ref_y, my, mx, dy, dx);
               if (s < best) { best = s; bdy = dy; bdx = dx; }
             }
+        } else if (cfg.search == 2) {
+          // SPEC.md §9 hier: coarse ±4 on quarter res, x4, refine ±2
+          int64_t cb = INT64_MAX;
+          int cdy = 0, cdx = 0;
+          for (int dy = -4; dy <= 4; dy++)
+            for (int dx = -4; dx <= 4; dx++) {
+              int64_t s = sad4q(cq, rq, my, mx, dy, dx);
+              if (s < cb) { cb = s; cdy = dy; cdx = dx; }
+            }
+          cdy *= 4; cdx *= 4;
+          bdy = cdy; bdx = cdx;
+          // two chained ±2 refines, each re-centered (SPEC.md §9)
+          for (int step = 0; step < 2; step++) {
+            int sy = bdy, sx = bdx;
+            best = INT64_MAX;
+            for (int u = -2; u <= 2; u++)
+              for (int v = -2; v <= 2; v++) {
+                int ny = sy + u, nx = sx + v;
+                int64_t s = (std::abs(ny) <= 16 && std::abs(nx) <= 16)
+                                ? sad16(cy, ref_y, my, mx, ny, nx)
+                                : (1LL << 60);
+                if (s < best) { best = s; bdy = ny; bdx = nx; }
+              }
+          }
         } else {
           // SPEC.md §9 diamond with early freeze; SDSP applied regardless
           int dy = 0, dx = 0;
@@ -747,7 +800,10 @@ int main(int argc, char** argv) {
     const char* outp = argv[3];
     cfg.w = atoi(argv[4]); cfg.h = atoi(argv[5]);
     cfg.gop = atoi(argv[6]); cfg.qp = atoi(argv[7]);
-    cfg.diamond = std::string(argv[8]) == "diamond";
+    {
+      std::string s8 = argv[8];
+      cfg.search = s8 == "diamond" ? 1 : (s8 == "hier" ? 2 : 0);
+    }
     std::string rcs = argv[9];
     cfg.rc = rcs == "adaptive" ? 1
            : (rcs == "bitrate" ? 2 : (rcs == "vbv" ? 3 : 0));
@@ -826,12 +882,13 @@ int main(int argc, char** argv) {
     put_le16(hdr, cfg.w); put_le16(hdr, cfg.h);
     put_le16(hdr, cfg.gop);
     hdr.push_back(cfg.qp);
-    hdr.push_back(cfg.diamond ? 1 : 0);
+    hdr.push_back((uint8_t)cfg.search);
     put_le32(hdr, n);
     char canon[256];
     int cl = snprintf(canon, sizeof canon,
              "tvc1:w=%d:h=%d:gop=%d:qp=%d:search=%s:rc=%s:kbps=%d:fps=30/1",
-             cfg.w, cfg.h, cfg.gop, cfg.qp, cfg.diamond ? "diamond" : "full",
+             cfg.w, cfg.h, cfg.gop, cfg.qp,
+             cfg.search == 1 ? "diamond" : (cfg.search == 2 ? "hier" : "full"),
              cfg.rc == 1 ? "adaptive"
                : (cfg.rc == 2 ? "bitrate" : (cfg.rc == 3 ? "vbv" : "none")),
              kbps);

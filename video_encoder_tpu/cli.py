@@ -214,7 +214,8 @@ def main(argv=None) -> int:
     _add_dims(e)
     e.add_argument("--gop", type=int, default=30)
     e.add_argument("--qp", type=int, default=28)
-    e.add_argument("--search", choices=["full", "diamond"], default="diamond")
+    e.add_argument("--search", choices=["full", "diamond", "hier"],
+                   default="diamond")
     e.add_argument("--rc", choices=["none", "adaptive", "bitrate", "vbv"],
                    default="none")
     e.add_argument("--kbps", type=int, default=0)

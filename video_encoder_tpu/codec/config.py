@@ -18,7 +18,7 @@ class EncoderConfig:
     height: int
     gop_n: int = 30            # GOP length; 1 = intra-only [B:7,8]
     base_qp: int = 28          # QP in [1, 63]
-    search: str = "full"       # "full" (±16 exhaustive) or "diamond" [B:8,9]
+    search: str = "full"       # "full" (±16) | "diamond" | "hier" [B:8,9; §9]
     rc: str = "none"           # "none"|"adaptive"|"bitrate"|"vbv" (SPEC.md §10)
     target_kbps: int = 0       # rc="bitrate"/"vbv" only
     vbv_kbits: int = 0         # rc="vbv" buffer size; 0 = 8x per-frame target
@@ -43,7 +43,7 @@ class EncoderConfig:
             raise ValueError("width/height must be even (4:2:0)")
         if not (1 <= self.base_qp <= 63):
             raise ValueError("base_qp must be in [1, 63]")
-        if self.search not in ("full", "diamond"):
+        if self.search not in ("full", "diamond", "hier"):
             raise ValueError(f"unknown search mode {self.search!r}")
         if self.rc not in ("none", "adaptive", "bitrate", "vbv"):
             raise ValueError(f"unknown rc mode {self.rc!r}")
@@ -68,7 +68,7 @@ class EncoderConfig:
 
     @property
     def search_mode_id(self) -> int:
-        return {"full": 0, "diamond": 1}[self.search]
+        return {"full": 0, "diamond": 1, "hier": 2}[self.search]
 
     def canonical(self) -> str:
         s = (

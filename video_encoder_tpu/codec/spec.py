@@ -76,6 +76,14 @@ MB = 16          # luma macroblock size
 BLK = 8          # transform block size
 SEARCH_R = 16    # motion search radius (±16)
 N_CAND = (2 * SEARCH_R + 1) ** 2  # 33*33 = 1089 full-search candidates
+# hierarchical search (SPEC.md §9 "hier"): coarse full search over ±HIER_
+# COARSE_R on the 4x-downsampled planes (covers the full ±16 at 1/4 scale),
+# then HIER_REFINE_STEPS chained ±HIER_REFINE_R full-resolution refinements
+# (each re-centered on the current winner; two steps absorb up to ±4 px of
+# coarse-grid aliasing error).
+HIER_COARSE_R = 4
+HIER_REFINE_R = 2
+HIER_REFINE_STEPS = 2
 DIAMOND_MAX_STEPS = 16
 DIAMOND_EARLY_SAD = 512
 
@@ -240,6 +248,14 @@ def pad_plane(plane: np.ndarray, mult: int) -> np.ndarray:
 def pad_ref(plane: np.ndarray, r: int) -> np.ndarray:
     """Edge-replicate pad a reference plane by r on all sides (SPEC.md §2)."""
     return np.pad(plane, r, mode="edge")
+
+
+def down2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box downsample, round half up: (a+b+c+d+2) >> 2 (SPEC.md §9,
+    hier search). Dimensions must be even (MB-padded planes always are)."""
+    h, w = plane.shape
+    q = plane.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+    return (q + 2) >> 2
 
 
 def blockify(plane: np.ndarray, n: int) -> np.ndarray:

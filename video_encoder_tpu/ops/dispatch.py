@@ -71,6 +71,20 @@ def mc_fetch_chroma_plane(ref_c, cdy, cdx):
     return unblockify(motion.mc_fetch(refpad, cdy, cdx, 8, 8))
 
 
+def hier_search(cur_y, ref_y):
+    """Hierarchical coarse+refine search: the coarse quarter-res sweep is
+    one fused jnp program either way; on TPU the two ±2 refinement sweeps
+    run in one fused Pallas kernel (per-MB VMEM regions)."""
+    from . import motion
+
+    if use_pallas():
+        from .pallas import diamond as pdia
+
+        cdy, cdx = motion.hier_coarse(cur_y, ref_y)
+        return pdia.hier_refine(cur_y, ref_y, cdy, cdx)
+    return motion.hier_search(cur_y, ref_y)
+
+
 def diamond_search(cur_y, ref_y):
     """Diamond search: map-descent on TPU (one Pallas pass builds the full
     ±16 SAD volume on the MXU, then the spec's masked descent runs as

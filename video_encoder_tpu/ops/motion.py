@@ -150,6 +150,80 @@ def diamond_search_with(cur_y: jnp.ndarray, ref_y: jnp.ndarray, sad_fn,
     return dy, dx, cost
 
 
+def down2(p: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box downsample, round half up (SPEC.md §9 hier; = spec.down2)."""
+    h, w = p.shape
+    q = p.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+    return (q + 2) >> 2
+
+
+def hier_coarse(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+    """Coarse stage of the hier search (SPEC.md §9): ±HIER_COARSE_R full
+    SAD search of each MB's 4×4 block on the 4x-downsampled planes,
+    row-major first-min, scaled ×4. Returns (cdy, cdx) per MB."""
+    cq = down2(down2(cur_y))
+    rq = down2(down2(ref_y))
+    rc = spec.HIER_COARSE_R
+    nd = 2 * rc + 1
+    rqpad = pad_ref(rq, rc)
+    hq, wq = cq.shape
+
+    # static unroll: 81 slices fuse into ONE program ([nd*nd, hq, wq] is
+    # ~44 MB at 1080p) — a lax.scan here costs ~80 us/iteration of dispatch
+    keys = []
+    for k in range(nd * nd):
+        shifted = jax.lax.slice(
+            rqpad, (k // nd, k % nd), (k // nd + hq, k % nd + wq)
+        )
+        sad = _mb_sums(jnp.abs(cq - shifted), 4)
+        # sad <= 16*255 = 4080; 128 > nd*nd: packed key min == first-min
+        keys.append(sad * 128 + k)
+    best = jnp.min(jnp.stack(keys), axis=0)
+    k = best & 127
+    return (k // nd - rc) * 4, (k % nd - rc) * 4
+
+
+def hier_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray, refine_sad_fn=None):
+    """Hierarchical search (SPEC.md §9 "hier"), bit-exact with
+    golden.sad_hier_search: coarse quarter-res full search, then
+    HIER_REFINE_STEPS chained ±HIER_REFINE_R full-res refinements.
+    refine_sad_fn(dy, dx) -> per-MB SADs lets a caller slot in another
+    evaluator (the TPU path instead uses the fused Pallas refine kernel,
+    ops/pallas/diamond.py hier_refine — see ops/dispatch.py)."""
+    cdy, cdx = hier_coarse(cur_y, ref_y)
+
+    if refine_sad_fn is None:
+        cur_blocks = blockify(cur_y, spec.MB)
+        refpad = pad_ref(ref_y, R)
+
+        def refine_sad_fn(dy, dx):
+            return sad_at(cur_blocks, refpad, dy, dx)
+
+    rr = spec.HIER_REFINE_R
+    dy, dx = cdy, cdx
+    sad = None
+    for _ in range(spec.HIER_REFINE_STEPS):
+        cand_costs, cand_dy, cand_dx = [], [], []
+        for u in range(-rr, rr + 1):
+            for v in range(-rr, rr + 1):
+                ndy, ndx = dy + u, dx + v
+                valid = (jnp.abs(ndy) <= R) & (jnp.abs(ndx) <= R)
+                c = jnp.where(
+                    valid,
+                    refine_sad_fn(jnp.clip(ndy, -R, R), jnp.clip(ndx, -R, R)),
+                    BIG,
+                )
+                cand_costs.append(c)
+                cand_dy.append(ndy)
+                cand_dx.append(ndx)
+        cc = jnp.stack(cand_costs)
+        widx = jnp.argmin(cc, axis=0)  # first occurrence == (u, v) row-major
+        dy = jnp.take_along_axis(jnp.stack(cand_dy), widx[None], 0)[0]
+        dx = jnp.take_along_axis(jnp.stack(cand_dx), widx[None], 0)[0]
+        sad = jnp.take_along_axis(cc, widx[None], 0)[0]
+    return dy, dx, sad
+
+
 def intra_cost_and_dc(cur_y: jnp.ndarray):
     """Per-MB DC and SAD-vs-DC (SPEC.md §9/§10)."""
     blocks = blockify(cur_y, spec.MB)

@@ -120,6 +120,122 @@ def _diamond_kernel(refpad_hbm, cur_ref, sad_ref, dy_ref, dx_ref, win, rots, sem
     dx_ref[0, 0] = dx_acc
 
 
+def _refine_kernel(refpad_hbm, cur_ref, cdy_ref, cdx_ref,
+                   sad_ref, dy_ref, dx_ref, win, rots, sem):
+    """Hier refinement (SPEC.md §9): HIER_REFINE_STEPS chained ±2 sweeps
+    around per-MB centers. Same region machinery as the diamond kernel —
+    one [20, 20] VMEM region per MB per step, 25 static slice-SADs."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        refpad_hbm.at[pl.ds(i * TH, WH), pl.ds(j * TW, WWA)], win, sem
+    )
+    dma.start()
+    dma.wait()
+    w0 = win[:]
+    for r in range(8):
+        rots[r] = pltpu.roll(w0, (WH - r) % WH, 0)
+
+    def region(my, mx, dy, dx):
+        row = my * MB + dy + PAD - 2
+        col = mx * MB + dx + PAD - 2
+        r = jax.lax.rem(row, 8)
+        q8 = pl.multiple_of(row - r, 8)
+        strip = rots[r, pl.ds(q8, REG), :]
+        rolled = pltpu.roll(strip, (WWA - col) % WWA, 1)
+        return jax.lax.slice(rolled, (0, 0), (20, 20))
+
+    def cand_sad(reg, cur, oy, ox):
+        cand = jax.lax.slice(reg, (2 + oy, 2 + ox), (18 + oy, 18 + ox))
+        return jnp.abs(cur - cand).sum()
+
+    rr = spec.HIER_REFINE_R
+    sad_acc = jnp.zeros((TM, TN), jnp.int32)
+    dy_acc = jnp.zeros((TM, TN), jnp.int32)
+    dx_acc = jnp.zeros((TM, TN), jnp.int32)
+    for my in range(TM):
+        for mx in range(TN):
+            cur = cur_ref[my * MB : (my + 1) * MB, mx * MB : (mx + 1) * MB]
+            dy = cdy_ref[0, 0, my, mx]
+            dx = cdx_ref[0, 0, my, mx]
+            cost = jnp.int32(BIG)
+            for _ in range(spec.HIER_REFINE_STEPS):
+                reg = region(my, mx, dy, dx)
+                bdy, bdx, bcost = dy, dx, jnp.int32(BIG)
+                for u in range(-rr, rr + 1):      # (u, v) row-major:
+                    for v in range(-rr, rr + 1):  # strict-< == first-min
+                        ndy, ndx = dy + u, dx + v
+                        valid = (jnp.abs(ndy) <= R) & (jnp.abs(ndx) <= R)
+                        c = jnp.where(
+                            valid, cand_sad(reg, cur, u, v), jnp.int32(BIG)
+                        )
+                        better = c < bcost
+                        bdy = jnp.where(better, ndy, bdy)
+                        bdx = jnp.where(better, ndx, bdx)
+                        bcost = jnp.where(better, c, bcost)
+                dy, dx, cost = bdy, bdx, bcost
+            onehot = (
+                (jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 0) == my)
+                & (jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1) == mx)
+            ).astype(jnp.int32)
+            sad_acc = sad_acc + onehot * cost
+            dy_acc = dy_acc + onehot * dy
+            dx_acc = dx_acc + onehot * dx
+    sad_ref[0, 0] = sad_acc
+    dy_ref[0, 0] = dy_acc
+    dx_ref[0, 0] = dx_acc
+
+
+@jax.jit
+def hier_refine(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
+                cdy: jnp.ndarray, cdx: jnp.ndarray):
+    """Chained ±2 refinement around per-MB centers (cdy, cdx); returns
+    (dy, dx, sad) per MB. Bit-exact with the refine loop of
+    motion.hier_search (same candidate order and masking)."""
+    h, w = cur_y.shape
+    nby, nbx = h // MB, w // MB
+    gy = -(-nby // TM) * TM
+    gx = -(-nbx // TN) * TN
+    hp, wp = gy * MB, gx * MB
+    cur_p = jnp.pad(cur_y, ((0, hp - h), (0, wp - w)))
+    ref_p = jnp.pad(ref_y, ((0, hp - h), (0, wp - w)), mode="edge")
+    refpad = jnp.pad(
+        ref_p, ((PAD, WH - TH - PAD), (PAD, WWA - TW - PAD)), mode="edge"
+    )
+
+    def to_tiles(a):
+        a = jnp.pad(a, ((0, gy - nby), (0, gx - nbx)))
+        return (a.reshape(gy // TM, TM, gx // TN, TN)
+                 .transpose(0, 2, 1, 3))
+
+    spec_mb = pl.BlockSpec((1, 1, TM, TN), lambda i, j: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sad, dy, dx = pl.pallas_call(
+        _refine_kernel,
+        grid=(gy // TM, gx // TN),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            spec_mb,
+            spec_mb,
+        ],
+        out_specs=[spec_mb, spec_mb, spec_mb],
+        out_shape=[
+            jax.ShapeDtypeStruct((gy // TM, gx // TN, TM, TN), jnp.int32)
+            for _ in range(3)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WH, WWA), jnp.int32),
+            pltpu.VMEM((8, WH, WWA), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(refpad, cur_p, to_tiles(cdy), to_tiles(cdx))
+
+    def untile(a):
+        return a.transpose(0, 2, 1, 3).reshape(gy, gx)[:nby, :nbx]
+
+    return untile(dy), untile(dx), untile(sad)
+
+
 @jax.jit
 def diamond_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
     """Same contract as motion.diamond_search: (dy, dx, best_sad) per MB."""

@@ -59,6 +59,8 @@ def encode_frame_device(
     if is_p:
         if search == "full":
             dy, dx, best_sad = motion.full_search(cur_y, ref_y)
+        elif search == "hier":
+            dy, dx, best_sad = motion.hier_search(cur_y, ref_y)
         else:
             dy, dx, best_sad = motion.diamond_search(cur_y, ref_y)
         is_inter = best_sad <= icost  # ties → inter (SPEC.md §9)

@@ -94,6 +94,8 @@ def encode_frame_traced(
     if is_p:
         if search == "full":
             dy, dx, best_sad = dispatch.full_search(cur_y, ref_y)
+        elif search == "hier":
+            dy, dx, best_sad = dispatch.hier_search(cur_y, ref_y)
         else:
             dy, dx, best_sad = dispatch.diamond_search(cur_y, ref_y)
         is_inter = best_sad <= icost
