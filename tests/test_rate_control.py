@@ -167,3 +167,9 @@ def test_twopass_hits_target(rng):
     buf.seek(0)
     info, it = decode_clip(buf)
     assert len([1 for _ in it]) == n
+
+    # the GOP-resident engine must produce the identical two-pass stream
+    buf2 = io.BytesIO()
+    encode_clip_twopass(cfg, lambda: iter(frames), buf2, n,
+                        engine=GopEngine(cfg))
+    assert buf2.getvalue() == buf.getvalue()

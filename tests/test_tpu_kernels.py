@@ -47,3 +47,26 @@ def test_mc_kernels_odd_grid(rng):
     want = motion.mc_fetch(refpad, dy, dx, 16, 16)
     got = blockify(psad.mc_fetch_plane(ref, dy, dx), 16)
     assert jnp.array_equal(want, got)
+
+
+@pytest.mark.parametrize("h,w", [(368, 640), (144, 208)])
+def test_hier_refine_odd_grids(rng, h, w):
+    cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    ref = jnp.asarray(
+        np.clip(np.roll(np.asarray(cur), (3, -5), (0, 1))
+                + rng.integers(-6, 7, (h, w)), 0, 255), jnp.int32)
+    g = motion.hier_search(cur, ref)
+    cdy, cdx = motion.hier_coarse(cur, ref)
+    p = pdia.hier_refine(cur, ref, cdy, cdx)
+    assert all(bool(jnp.array_equal(a, b)) for a, b in zip(g, p))
+
+
+def test_sad_map_even_matches_full_map(rng):
+    h, w = 368, 640
+    cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    ref = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    mf = np.asarray(psad.sad_map(cur, ref))
+    me = np.asarray(psad.sad_map_even(cur, ref))
+    nby, nbx = mf.shape[:2]
+    sub = mf.reshape(nby, nbx, 33, 33)[:, :, ::2, ::2].reshape(nby, nbx, 289)
+    assert np.array_equal(sub, me)

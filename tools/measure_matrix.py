@@ -126,7 +126,7 @@ def main():
         if a.res and name != a.res:
             continue
         row = {"resolution": name}
-        for search in ("full", "diamond"):
+        for search in ("full", "diamond", "hier"):
             fps, ovf, kbits = device_fps(w, h, search, t_frames, reps)
             row[f"tpu_{search}_fps"] = round(fps, 2)
             if ovf:
@@ -144,12 +144,16 @@ def main():
     with open(out_path, "w") as f:
         json.dump(rows, f, indent=1)
 
-    print("\n| resolution | TPU full fps | oracle full | x | TPU diamond fps | oracle diamond | x | C++ decode fps |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("\n| resolution | TPU full fps | oracle full | x | TPU diamond fps "
+          "| oracle diamond | x | TPU hier fps | oracle hier | x "
+          "| C++ decode fps |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['resolution']} | {r['tpu_full_fps']} | {r['oracle_full_fps']} "
               f"| {r.get('speedup_full','-')} | {r['tpu_diamond_fps']} "
               f"| {r['oracle_diamond_fps']} | {r.get('speedup_diamond','-')} "
+              f"| {r.get('tpu_hier_fps','-')} | {r.get('oracle_hier_fps','-')} "
+              f"| {r.get('speedup_hier','-')} "
               f"| {r['native_decode_fps']} |")
 
 

@@ -53,6 +53,9 @@ def main():
     ds = jax.jit(dispatch.diamond_search)
     print("diamond_search   %.2f ms" % timeit(ds, cur, ref))
 
+    hs = jax.jit(dispatch.hier_search)
+    print("hier_search      %.2f ms" % timeit(hs, cur, ref))
+
     ic = jax.jit(motion.intra_cost_and_dc)
     print("intra_cost       %.2f ms" % timeit(ic, cur))
 

@@ -66,10 +66,10 @@ def cmd_encode(a) -> int:
                 return 2
             if cfg.rc == "none":
                 cfg = dataclasses.replace(cfg, rc="bitrate")
-            if engine is None and cfg.format_version == 1:
-                from .pipeline.device_engine import DeviceEngine
+            if engine is None:
+                from .pipeline.gop_engine import GopEngine
 
-                engine = DeviceEngine()  # per-frame engine for the 2 passes
+                engine = GopEngine(cfg)  # GOP-resident engine, both passes
             summary = encode_clip_twopass(
                 cfg, lambda: yuv.open_clip(a.input, a.width, a.height)[3],
                 fo, n_frames, engine=engine, on_frame=on_frame,

@@ -168,17 +168,22 @@ def hier_coarse(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
     rqpad = pad_ref(rq, rc)
     hq, wq = cq.shape
 
-    # static unroll: 81 slices fuse into ONE program ([nd*nd, hq, wq] is
-    # ~44 MB at 1080p) — a lax.scan here costs ~80 us/iteration of dispatch
-    keys = []
-    for k in range(nd * nd):
-        shifted = jax.lax.slice(
-            rqpad, (k // nd, k % nd), (k // nd + hq, k % nd + wq)
-        )
-        sad = _mb_sums(jnp.abs(cq - shifted), 4)
-        # sad <= 16*255 = 4080; 128 > nd*nd: packed key min == first-min
-        keys.append(sad * 128 + k)
-    best = jnp.min(jnp.stack(keys), axis=0)
+    # one scan step per dy row, all nd dx offsets statically unrolled
+    # inside it: a full 81-way unroll fuses into one enormous XLA kernel
+    # that crawls at 1080p, while an 81-step scan pays ~80 us of dispatch
+    # per step; 9 moderate steps is the sweet spot.
+    def row(best, dyi):
+        keys = []
+        for dxi in range(nd):
+            shifted = jax.lax.dynamic_slice(rqpad, (dyi, dxi), (hq, wq))
+            sad = _mb_sums(jnp.abs(cq - shifted), 4)
+            # sad <= 16*255 = 4080; 128 > nd*nd: packed-key min == first-min
+            keys.append(sad * 128 + dyi * nd + dxi)
+        return jnp.minimum(best, jnp.min(jnp.stack(keys), axis=0)), None
+
+    nby, nbx = cur_y.shape[0] // spec.MB, cur_y.shape[1] // spec.MB
+    init = jnp.full((nby, nbx), BIG, jnp.int32)
+    best, _ = jax.lax.scan(row, init, jnp.arange(nd, dtype=jnp.int32))
     k = best & 127
     return (k // nd - rc) * 4, (k % nd - rc) * 4
 

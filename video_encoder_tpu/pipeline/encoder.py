@@ -265,6 +265,18 @@ def encode_clip_twopass(
         raise ValueError("two-pass needs target_kbps > 0 (rc='bitrate'|'vbv')")
     cfg_cq = dataclasses.replace(cfg, rc="none", target_kbps=0, vbv_kbits=0)
     engine = engine or GoldenEngine()
+    # GOP-level engines (pipeline.gop_engine.GopEngine) expose
+    # encode_gop(frames, first_index, base_qp); per-frame engines
+    # (GoldenEngine/DeviceEngine) go through encode_gop() below.
+    gop_level = hasattr(engine, "encode_gop")
+    if gop_level:
+        engine = type(engine)(cfg_cq)
+
+    def run_gop(g, gi, start, qp):
+        if gop_level:
+            return engine.encode_gop(g, start, base_qp=qp)
+        return encode_gop(dataclasses.replace(cfg_cq, base_qp=qp), engine,
+                          g, gi, start)
 
     def gops():
         gop: list[Frame] = []
@@ -285,8 +297,7 @@ def encode_clip_twopass(
     gop_lens: list[int] = []
     start = 0
     for g in gops():
-        _, stats = encode_gop(cfg_cq, engine, g, len(gop_bits), start,
-                              collect_stats=True)
+        _, stats = run_gop(g, len(gop_bits), start, cfg.base_qp)
         gop_bits.append(sum(s.bits for s in stats))
         gop_lens.append(len(g))
         start += len(g)
@@ -299,8 +310,7 @@ def encode_clip_twopass(
     summary = RunSummary()
     start = 0
     for gi, g in enumerate(gops()):
-        cfg_g = dataclasses.replace(cfg_cq, base_qp=qps[gi])
-        packets, stats = encode_gop(cfg_g, engine, g, gi, start)
+        packets, stats = run_gop(g, gi, start, qps[gi])
         for p in packets:
             mux.push(p)
         for s in stats:
