@@ -72,16 +72,19 @@ def mc_fetch_chroma_plane(ref_c, cdy, cdx):
 
 
 def hier_search(cur_y, ref_y):
-    """Hierarchical coarse+refine search: the coarse quarter-res sweep is
-    one fused jnp program either way; on TPU the two ±2 refinement sweeps
-    run in one fused Pallas kernel (per-MB VMEM regions)."""
+    """Hierarchical coarse+refine search. The coarse quarter-res sweep is
+    batched jnp (one-hot matmul reductions) either way; on TPU the 2x25
+    refinement candidates evaluate through sad_at_mv (one Pallas pass per
+    candidate — measured faster than the fused per-MB-region refine kernel
+    at 1080p, whose tiny per-MB tensors underuse the 8x128 VPU)."""
     from . import motion
 
     if use_pallas():
-        from .pallas import diamond as pdia
+        from .pallas import sad as psad
 
-        cdy, cdx = motion.hier_coarse(cur_y, ref_y)
-        return pdia.hier_refine(cur_y, ref_y, cdy, cdx)
+        return motion.hier_search(
+            cur_y, ref_y, lambda dy, dx: psad.sad_at_mv(cur_y, ref_y, dy, dx)
+        )
     return motion.hier_search(cur_y, ref_y)
 
 

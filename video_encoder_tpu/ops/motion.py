@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..codec import spec
 from .transform import blockify
@@ -168,22 +169,36 @@ def hier_coarse(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
     rqpad = pad_ref(rq, rc)
     hq, wq = cq.shape
 
-    # one scan step per dy row, all nd dx offsets statically unrolled
-    # inside it: a full 81-way unroll fuses into one enormous XLA kernel
-    # that crawls at 1080p, while an 81-step scan pays ~80 us of dispatch
-    # per step; 9 moderate steps is the sweet spot.
-    def row(best, dyi):
-        keys = []
-        for dxi in range(nd):
-            shifted = jax.lax.dynamic_slice(rqpad, (dyi, dxi), (hq, wq))
-            sad = _mb_sums(jnp.abs(cq - shifted), 4)
-            # sad <= 16*255 = 4080; 128 > nd*nd: packed-key min == first-min
-            keys.append(sad * 128 + dyi * nd + dxi)
-        return jnp.minimum(best, jnp.min(jnp.stack(keys), axis=0)), None
-
     nby, nbx = cur_y.shape[0] // spec.MB, cur_y.shape[1] // spec.MB
-    init = jnp.full((nby, nbx), BIG, jnp.int32)
-    best, _ = jax.lax.scan(row, init, jnp.arange(nd, dtype=jnp.int32))
+    # 4x4-block sums as two one-hot bf16/f32 matmuls: strided reshape-sums
+    # relayout on TPU (~6 ms/frame at 1080p across 81 candidates), while
+    # the MXU reduction is exact (|diff| <= 255 in bf16; the one-hot
+    # contractions sum 4 terms each, f32-exact) and fast. Module-scope
+    # numpy consts only (see the note at the top of this file).
+    right = np.equal.outer(np.arange(wq) // 4, np.arange(nbx)).astype(
+        np.float32
+    )  # [wq, nbx] one-hot column-block reducer
+    left = np.equal.outer(np.arange(nby), np.arange(hq) // 4).astype(
+        np.float32
+    )  # [nby, hq] one-hot row-block reducer
+    cqb = cq.astype(jnp.bfloat16)
+    keys = []
+    for k in range(nd * nd):
+        shifted = jax.lax.slice(
+            rqpad, (k // nd, k % nd), (k // nd + hq, k % nd + wq)
+        )
+        diff = jnp.abs(cqb - shifted.astype(jnp.bfloat16))
+        colsum = jax.lax.dot_general(  # [hq, nbx] f32, exact (<= 1020)
+            diff, jnp.asarray(right, jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        sad = jax.lax.dot_general(     # [nby, nbx] f32, exact (<= 4080)
+            left, colsum,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        # sad <= 4080; 128 > nd*nd: packed-key min == first-min
+        keys.append(sad.astype(jnp.int32) * 128 + k)
+    best = jnp.min(jnp.stack(keys), axis=0)
     k = best & 127
     return (k // nd - rc) * 4, (k % nd - rc) * 4
 
