@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from video_encoder_tpu.ops import motion
-from video_encoder_tpu.ops.pallas import diamond as pdia, sad as psad
+from video_encoder_tpu.ops.pallas import sad as psad
 from video_encoder_tpu.ops.transform import blockify
 
 
@@ -27,14 +27,6 @@ def test_full_search_odd_grids(rng, h, w):
     assert jnp.array_equal(gdy, pdy) and jnp.array_equal(gdx, pdx)
     assert jnp.array_equal(gsad, ps)
 
-
-@pytest.mark.parametrize("h,w", [(368, 640), (144, 208)])
-def test_diamond_odd_grids(rng, h, w):
-    cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
-    ref = jnp.roll(cur, (2, 3), (0, 1))
-    g = motion.diamond_search(cur, ref)
-    p = pdia.diamond_search(cur, ref)
-    assert all(bool(jnp.array_equal(a, b)) for a, b in zip(g, p))
 
 
 def test_mc_kernels_odd_grid(rng):
@@ -49,17 +41,6 @@ def test_mc_kernels_odd_grid(rng):
     assert jnp.array_equal(want, got)
 
 
-@pytest.mark.parametrize("h,w", [(368, 640), (144, 208)])
-def test_hier_refine_odd_grids(rng, h, w):
-    cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
-    ref = jnp.asarray(
-        np.clip(np.roll(np.asarray(cur), (3, -5), (0, 1))
-                + rng.integers(-6, 7, (h, w)), 0, 255), jnp.int32)
-    g = motion.hier_search(cur, ref)
-    cdy, cdx = motion.hier_coarse(cur, ref)
-    p = pdia.hier_refine(cur, ref, cdy, cdx)
-    assert all(bool(jnp.array_equal(a, b)) for a, b in zip(g, p))
-
 
 def test_sad_map_even_matches_full_map(rng):
     h, w = 368, 640
@@ -70,3 +51,29 @@ def test_sad_map_even_matches_full_map(rng):
     nby, nbx = mf.shape[:2]
     sub = mf.reshape(nby, nbx, 33, 33)[:, :, ::2, ::2].reshape(nby, nbx, 289)
     assert np.array_equal(sub, me)
+
+
+@pytest.mark.parametrize("h,w", [(368, 640), (144, 208)])
+def test_dispatch_diamond_odd_grids(rng, h, w):
+    """Production map-descent diamond vs the jnp reference, odd MB grids."""
+    from video_encoder_tpu.ops import dispatch
+
+    cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    ref = jnp.roll(cur, (2, 3), (0, 1))
+    g = motion.diamond_search(cur, ref)
+    p = jax.jit(dispatch.diamond_search)(cur, ref)
+    assert all(bool(jnp.array_equal(a, b)) for a, b in zip(g, p))
+
+
+@pytest.mark.parametrize("h,w", [(368, 640), (144, 208)])
+def test_dispatch_hier_odd_grids(rng, h, w):
+    """Production hier (einsum coarse + sad_at_mv refine) vs jnp reference."""
+    from video_encoder_tpu.ops import dispatch
+
+    cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    ref = jnp.asarray(
+        np.clip(np.roll(np.asarray(cur), (3, -5), (0, 1))
+                + rng.integers(-6, 7, (h, w)), 0, 255), jnp.int32)
+    g = motion.hier_search(cur, ref)
+    p = jax.jit(dispatch.hier_search)(cur, ref)
+    assert all(bool(jnp.array_equal(a, b)) for a, b in zip(g, p))

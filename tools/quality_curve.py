@@ -56,7 +56,8 @@ def main():
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--qps", type=int, nargs="*", default=[14, 22, 30, 38, 46])
-    ap.add_argument("--search", choices=["full", "diamond", "both"], default="both")
+    ap.add_argument("--search", choices=["full", "diamond", "hier", "all"],
+                    default="all")
     a = ap.parse_args()
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "quality_results.json")
@@ -64,7 +65,7 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             out = json.load(f)
-    searches = ("full", "diamond") if a.search == "both" else (a.search,)
+    searches = ("full", "diamond", "hier") if a.search == "all" else (a.search,)
     for search in searches:
         # (fmt, quant_bias) variants: v1/v2 midpoint curves are the
         # reference-parity contract; the deadzone curve (quant_bias=5)

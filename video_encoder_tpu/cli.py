@@ -53,19 +53,26 @@ def cmd_encode(a) -> int:
     else:  # "gop" — the production GOP-resident path
         engine = None
 
+    # validate two-pass preconditions BEFORE truncating the output file
+    if a.two_pass:
+        import dataclasses
+
+        if a.kbps <= 0:
+            print("error: --two-pass requires --kbps", file=sys.stderr)
+            return 2
+        if cfg.rc == "adaptive":
+            print("error: --two-pass allocates qp at the GOP level; "
+                  "use --rc none|bitrate|vbv", file=sys.stderr)
+            return 2
+        if cfg.rc == "none":
+            cfg = dataclasses.replace(cfg, rc="bitrate")
+
     on_frame = (lambda s: print(s.to_json(), file=sys.stderr)) if a.verbose else None
     t0 = time.perf_counter()
     with open(a.output, "wb") as fo:
         if a.two_pass:
-            import dataclasses
-
             from .pipeline.encoder import encode_clip_twopass
 
-            if a.kbps <= 0:
-                print("error: --two-pass requires --kbps", file=sys.stderr)
-                return 2
-            if cfg.rc == "none":
-                cfg = dataclasses.replace(cfg, rc="bitrate")
             if engine is None:
                 from .pipeline.gop_engine import GopEngine
 

@@ -49,8 +49,9 @@ class EncoderConfig:
             raise ValueError(f"unknown rc mode {self.rc!r}")
         if self.rc == "vbv" and self.target_kbps <= 0:
             raise ValueError("rc='vbv' requires target_kbps > 0")
-        if self.vbv_kbits < 0:
-            raise ValueError("vbv_kbits must be >= 0")
+        if not (0 <= self.vbv_kbits <= 1_000_000):
+            # device VBV state is int32: cap the buffer well below 2^31 bits
+            raise ValueError("vbv_kbits must be in [0, 1_000_000]")
         if self.gop_n < 1:
             raise ValueError("gop_n must be >= 1")
         if self.format_version not in (1, 2):

@@ -359,7 +359,7 @@ def encode_frame(
     cqpo = cfg.chroma_qp_offset if cfg.format_version >= 2 else 0
     q = _q6(qp_mb, cqpo)
     coefs = spec.forward_transform(blocks6)
-    levels = spec.quantize(coefs, q, getattr(cfg, "quant_bias", 8))
+    levels = spec.quantize(coefs, q, cfg.quant_bias)
     levels_zz = levels.reshape(nby, nbx, 6, 64)[..., spec.ZIGZAG]
 
     recon = _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr, cqpo)

@@ -151,11 +151,9 @@ def diamond_search_with(cur_y: jnp.ndarray, ref_y: jnp.ndarray, sad_fn,
     return dy, dx, cost
 
 
-def down2(p: jnp.ndarray) -> jnp.ndarray:
-    """2x2 box downsample, round half up (SPEC.md §9 hier; = spec.down2)."""
-    h, w = p.shape
-    q = p.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
-    return (q + 2) >> 2
+# spec.down2 is pure reshape/sum/shift, so it traces as-is: one normative
+# implementation of the (a+b+c+d+2)>>2 rule serves numpy and jnp callers.
+down2 = spec.down2
 
 
 def hier_coarse(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
@@ -208,8 +206,8 @@ def hier_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray, refine_sad_fn=None):
     golden.sad_hier_search: coarse quarter-res full search, then
     HIER_REFINE_STEPS chained ±HIER_REFINE_R full-res refinements.
     refine_sad_fn(dy, dx) -> per-MB SADs lets a caller slot in another
-    evaluator (the TPU path instead uses the fused Pallas refine kernel,
-    ops/pallas/diamond.py hier_refine — see ops/dispatch.py)."""
+    evaluator (the TPU path passes the Pallas sad_at_mv kernel —
+    ops/dispatch.py)."""
     cdy, cdx = hier_coarse(cur_y, ref_y)
 
     if refine_sad_fn is None:

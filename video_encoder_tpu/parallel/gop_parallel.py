@@ -109,7 +109,7 @@ class ShardedGopEncoder:
                 cap_words=cap,
                 target_bits=cfg.target_bits_per_frame(),
                 fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
-                qbias=getattr(cfg, "quant_bias", 8), vbv_bits=cfg.vbv_bits(),
+                qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
             )
 
         outs, _ = run(False)

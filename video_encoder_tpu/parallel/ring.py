@@ -147,7 +147,7 @@ class RingEncoder:
             block_words=entropy.BLOCK_WORDS_MAX,
             cap_words=entropy.max_words(n_mbs),
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
-            qbias=getattr(cfg, "quant_bias", 8),
+            qbias=cfg.quant_bias,
         )
         assert not bool(np.asarray(outs["ovf"]).any())
         bits = np.asarray(outs["bits"])      # [T, D]

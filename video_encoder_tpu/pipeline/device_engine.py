@@ -155,7 +155,7 @@ class DeviceEngine:
         is_p = frame_type == 1
         shape = cur.y.shape
         fn = self._compiled(shape, is_p, cfg.search, cfg.rc,
-                            getattr(cfg, "quant_bias", 8))
+                            cfg.quant_bias)
         if ref is None:
             ref = cur  # unused by the I-frame path; keeps signatures uniform
         out = fn(

@@ -272,11 +272,11 @@ def encode_clip_twopass(
     if gop_level:
         engine = type(engine)(cfg_cq)
 
-    def run_gop(g, gi, start, qp):
+    def run_gop(g, gi, start, qp, collect_stats=True):
         if gop_level:
             return engine.encode_gop(g, start, base_qp=qp)
         return encode_gop(dataclasses.replace(cfg_cq, base_qp=qp), engine,
-                          g, gi, start)
+                          g, gi, start, collect_stats=collect_stats)
 
     def gops():
         gop: list[Frame] = []
@@ -297,8 +297,10 @@ def encode_clip_twopass(
     gop_lens: list[int] = []
     start = 0
     for g in gops():
-        _, stats = run_gop(g, len(gop_bits), start, cfg.base_qp)
-        gop_bits.append(sum(s.bits for s in stats))
+        # bits come from the packets; skip pass-1 PSNR stats entirely
+        packets, _ = run_gop(g, len(gop_bits), start, cfg.base_qp,
+                             collect_stats=False)
+        gop_bits.append(sum(p.payload_bits for p in packets))
         gop_lens.append(len(g))
         start += len(g)
 

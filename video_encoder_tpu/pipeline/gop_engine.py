@@ -242,7 +242,7 @@ class GopEngine:
             search=cfg.search, rc=cfg.rc, block_words=bw,
             cap_words=cap, target_bits=cfg.target_bits_per_frame(),
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
-            qbias=getattr(cfg, "quant_bias", 8), vbv_bits=cfg.vbv_bits(),
+            qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
         )
 
     def encode_gop_start(
