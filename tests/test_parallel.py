@@ -132,3 +132,36 @@ def test_tile_sharded_v2_equals_single(rng):
         )
         assert nbits == ref_pk[k].payload_bits
         assert payload == ref_pk[k].payload
+
+
+@needs_devices
+def test_tile_sharded_vbv_equals_single(rng):
+    """rc=vbv derives qp from the psum'd frame total, so every tile shard
+    tracks the same VBV state and the sharded stream equals single-chip."""
+    h, w, t, ntile = 64, 32, 3, 4
+    frames = _smooth_frames(rng, h, w, t)
+    cfg = EncoderConfig(width=w, height=h, gop_n=t, base_qp=24, search="full",
+                        rc="vbv", target_kbps=50, vbv_kbits=10)
+    ref_pk, _ = GopEngine(cfg).encode_gop(frames, 0)
+
+    mesh = Mesh(np.array(jax.devices()[:ntile]), ("tile",))
+    y = jnp.asarray(np.stack([f.y for f in frames]).astype(np.uint8))
+    cb = jnp.asarray(np.stack([f.cb for f in frames]).astype(np.uint8))
+    cr = jnp.asarray(np.stack([f.cr for f in frames]).astype(np.uint8))
+    n_mbs_shard = (h // ntile // 16) * (w // 16)
+    outs = tiles.encode_gop_tiled(
+        y, cb, cr, 24, mesh=mesh, rc="vbv",
+        block_words=entropy.BLOCK_WORDS_MAX,
+        cap_words=entropy.max_words(n_mbs_shard),
+        target_bits=cfg.target_bits_per_frame(), ref_mode="halo",
+        vbv_bits=cfg.vbv_bits(),
+    )
+    assert not bool(np.asarray(outs["ovf"]).any())
+    bits = np.asarray(outs["bits"])
+    words = np.asarray(outs["words"])
+    for k in range(t):
+        payload, nbits = tiles.bit_concat(
+            [(words[s, k], int(bits[s, k])) for s in range(ntile)]
+        )
+        assert nbits == ref_pk[k].payload_bits
+        assert payload == ref_pk[k].payload
