@@ -22,6 +22,15 @@ class GopFailure(RuntimeError):
     """Raised when a GOP's encode result is lost or invalid."""
 
 
+# What counts as a recoverable engine failure. XLA device errors
+# (jaxlib's XlaRuntimeError, device OOMs) are RuntimeError subclasses, so
+# catching RuntimeError covers real chip loss as well as injected
+# GopFailure; OSError covers transport/tunnel drops. Programming errors
+# (TypeError, ValueError, AssertionError) still propagate — retrying those
+# would loop forever on a deterministic bug.
+RECOVERABLE = (RuntimeError, OSError)
+
+
 class FaultInjector:
     """Test hook: fails the Nth encode attempt of the listed GOP indices."""
 
@@ -62,9 +71,13 @@ def encode_gops_with_recovery(
                 pk, _ = engine.encode_gop(gop, first)
                 packets.extend(pk)
                 break
-            except GopFailure as e:
+            except RECOVERABLE as e:
                 attempt += 1
                 log.warning("gop %d failed (attempt %d): %s", first, attempt, e)
-                if attempt > max_retries and fallback is None:
+                # bounded total budget: the fallback gets its own max_retries
+                # window, then the failure propagates (never loop forever on
+                # a persistently failing pair of engines)
+                budget = max_retries if fallback is None else 2 * max_retries
+                if attempt > budget:
                     raise
     return packets

@@ -10,7 +10,9 @@ every step and each reconstruction crosses exactly one ICI hop — the direct
 analogue of ring-attention's neighbor exchange.
 
 Bitstreams are byte-identical to per-stream single-device encodes (tested),
-because nothing but the schedule changes.
+because nothing but the schedule changes: the ring hop carries BOTH the
+reconstruction and the stream's rate-control state (qp, vbv fullness), so
+rc="bitrate"/"vbv" streams follow the exact single-device RC trajectory.
 """
 
 from __future__ import annotations
@@ -26,18 +28,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..codec import entropy, spec
 from ..codec.bitstream import FramePacket
 from ..codec.golden import Frame
-from ..pipeline.gop_engine import encode_frame_traced
+from ..pipeline.gop_engine import encode_frame_traced, rc_carry_step
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "search", "rc", "block_words", "cap_words",
-                     "fmt", "cqpo", "qbias"),
+                     "fmt", "cqpo", "qbias", "target_bits", "vbv_bits"),
 )
 def encode_ring_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, search, rc, block_words, cap_words, fmt: int = 1, cqpo: int = 0,
-    qbias: int = 8,
+    qbias: int = 8, target_bits: int = 0, vbv_bits: int = 0,
 ):
     """y_u8: [T, D, H, W] uint8 pre-rotated so that xs[m] on device d is
     frame m of stream (d - m) mod D. Outputs words/bits in the same rotated
@@ -50,7 +52,7 @@ def encode_ring_jit(
         cr = cr[:, 0]
 
         def body(carry, xs):
-            ref_y, ref_cb, ref_cr = carry
+            ref_y, ref_cb, ref_cr, qp, fullness = carry
             cur_y = xs["y"].astype(jnp.int32)
             cur_cb = xs["cb"].astype(jnp.int32)
             cur_cr = xs["cr"].astype(jnp.int32)
@@ -59,21 +61,30 @@ def encode_ring_jit(
             out = jax.lax.cond(
                 xs["m"] > 0,
                 lambda: encode_frame_traced(
-                    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
+                    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp,
                     is_p=True, **kw),
                 lambda: encode_frame_traced(
-                    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
+                    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp,
                     is_p=False, **kw),
             )
-            # ring hop: my stream's recon moves to the next device, which
-            # encodes that stream's next frame at the next micro-step
+            qp_used = qp
+            qp, fullness = rc_carry_step(
+                rc, target_bits, vbv_bits, qp, fullness, out["bits"]
+            )
+            # ring hop: my stream's recon AND its RC state move to the next
+            # device, which encodes that stream's next frame at the next
+            # micro-step — identical single-device RC trajectory by
+            # construction (gop_engine.rc_carry_step is the same function).
             n = jax.lax.axis_size("ring")
             perm = [(i, (i + 1) % n) for i in range(n)]
             nref_y = jax.lax.ppermute(out["rec_y"], "ring", perm)
             nref_cb = jax.lax.ppermute(out["rec_cb"], "ring", perm)
             nref_cr = jax.lax.ppermute(out["rec_cr"], "ring", perm)
-            return (nref_y, nref_cb, nref_cr), dict(
-                words=out["words"], bits=out["bits"], ovf=out["ovf"]
+            nqp = jax.lax.ppermute(qp, "ring", perm)
+            nfull = jax.lax.ppermute(fullness, "ring", perm)
+            return (nref_y, nref_cb, nref_cr, nqp, nfull), dict(
+                words=out["words"], bits=out["bits"], ovf=out["ovf"],
+                qp=qp_used,
             )
 
         t = y.shape[0]
@@ -81,6 +92,8 @@ def encode_ring_jit(
             jnp.zeros(y.shape[1:], jnp.int32),
             jnp.zeros(cb.shape[1:], jnp.int32),
             jnp.zeros(cr.shape[1:], jnp.int32),
+            jnp.asarray(base_qp, jnp.int32),
+            jnp.asarray(spec.vbv_init(vbv_bits), jnp.int32),
         )
         xs = dict(y=y, cb=cb, cr=cr, m=jnp.arange(t, dtype=jnp.int32))
         _, outs = jax.lax.scan(body, init, xs)
@@ -92,7 +105,7 @@ def encode_ring_jit(
         mesh=mesh,
         in_specs=(sh, sh, sh),
         out_specs=dict(words=P(None, "ring"), bits=P(None, "ring"),
-                       ovf=P(None, "ring")),
+                       ovf=P(None, "ring"), qp=P(None, "ring")),
         check_vma=False,
     )(y_u8, cb_u8, cr_u8)
 
@@ -119,7 +132,10 @@ class RingEncoder:
         only flows forward within a stream)."""
         cfg = self.cfg
         d = self.d
-        assert 0 < len(streams) <= d
+        if not 0 < len(streams) <= d:
+            raise ValueError(
+                f"need 1..{d} streams for a {d}-device ring, got {len(streams)}"
+            )
         real_t = [len(s) for s in streams]
         n_real = len(streams)
         t = max(real_t)
@@ -147,11 +163,17 @@ class RingEncoder:
             block_words=entropy.BLOCK_WORDS_MAX,
             cap_words=entropy.max_words(n_mbs),
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
-            qbias=cfg.quant_bias,
+            qbias=cfg.quant_bias, target_bits=cfg.target_bits_per_frame(),
+            vbv_bits=cfg.vbv_bits(),
         )
-        assert not bool(np.asarray(outs["ovf"]).any())
+        if bool(np.asarray(outs["ovf"]).any()):
+            raise RuntimeError(
+                "ring encode overflowed worst-case payload capacity "
+                "(corrupt input or internal bug)"
+            )
         bits = np.asarray(outs["bits"])      # [T, D]
         words = np.asarray(outs["words"])    # [T, D, cap]
+        qps = np.asarray(outs["qp"])         # [T, D]
 
         packets: list[list[FramePacket]] = [[] for _ in range(n_real)]
         for m in range(t):
@@ -164,7 +186,7 @@ class RingEncoder:
                 packets[s].append(
                     FramePacket(
                         first_indices[s] + m, 0 if m == 0 else 1,
-                        cfg.base_qp, int(bits[m, dev]), payload,
+                        int(qps[m, dev]), int(bits[m, dev]), payload,
                     )
                 )
         return packets

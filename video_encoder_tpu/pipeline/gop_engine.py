@@ -79,6 +79,26 @@ def _sse(a, b):
     return jnp.sum(d * d)
 
 
+def rc_carry_step(rc: str, target_bits: int, vbv_bits: int, qp, fullness, bits):
+    """Frame-level RC carry update (SPEC.md §10), shared by the GOP scan and
+    the temporal ring (parallel/ring.py) so sharded streams stay
+    byte-identical to single-device encodes under every rc mode."""
+    if rc == "bitrate" and target_bits > 0:
+        t = max(target_bits, 1)
+        delta = jnp.clip(((bits - t) * 4) // t, -2, 2)
+        qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
+    elif rc == "vbv" and target_bits > 0:
+        # spec.vbv_next verbatim (jnp // floors like Python //)
+        t = max(target_bits, 1)
+        f = jnp.clip(fullness + target_bits - bits, 0, vbv_bits)
+        delta = jnp.clip(((bits - target_bits) * 4) // t, -2, 2)
+        delta = (delta + (f < vbv_bits // 4).astype(jnp.int32)
+                 - (f > (3 * vbv_bits) // 4).astype(jnp.int32))
+        qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
+        fullness = f
+    return qp, fullness
+
+
 def encode_frame_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
     *, is_p: bool, search: str, rc: str, block_words: int, cap_words: int,
@@ -175,19 +195,9 @@ def encode_gop_jit(
             ),
         )
         qp_used = qp
-        if rc == "bitrate" and target_bits > 0:
-            t = max(target_bits, 1)
-            delta = jnp.clip(((out["bits"] - t) * 4) // t, -2, 2)
-            qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
-        elif rc == "vbv" and target_bits > 0:
-            # spec.vbv_next verbatim (jnp // floors like Python //)
-            t = max(target_bits, 1)
-            f = jnp.clip(fullness + target_bits - out["bits"], 0, vbv_bits)
-            delta = jnp.clip(((out["bits"] - target_bits) * 4) // t, -2, 2)
-            delta = (delta + (f < vbv_bits // 4).astype(jnp.int32)
-                     - (f > (3 * vbv_bits) // 4).astype(jnp.int32))
-            qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
-            fullness = f
+        qp, fullness = rc_carry_step(
+            rc, target_bits, vbv_bits, qp, fullness, out["bits"]
+        )
         carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp, fullness)
         emit = dict(
             words=out["words"], bits=out["bits"], ovf=out["ovf"],
