@@ -1,8 +1,11 @@
 """Headline benchmark: 1080p 4:2:0 encode frames/s on one TPU chip.
 
-Measures the steady-state device-resident GOP encode rate (full-search ME,
-GOP=8 here to bound upload time through the axon tunnel; the per-frame work
-is independent of GOP length since every frame runs ME+transform+pack).
+Measures the steady-state device-resident GOP encode rate at GOP=30
+(full-search ME; one XLA program per GOP). Aux rows report the GOP=8
+variant and an upload-inclusive end-to-end rate — the latter is limited by
+this container's ~26 MB/s host<->device tunnel (a production PCIe/DMA link
+moves 1080p frames at >10 GB/s), so it is recorded for honesty, not as the
+design's ceiling.
 
 vs_baseline: ratio against the reference C encoder's single-core 1080p fps.
 The reference mount is empty (SURVEY.md §0), so the baseline is the C++
@@ -82,34 +85,48 @@ def main():
     from video_encoder_tpu.codec import entropy, spec
     from video_encoder_tpu.pipeline.gop_engine import _block_words_for_qp, encode_gop_jit
 
-    T, H, W = 8, 1080, 1920
+    H, W = 1080, 1920
     hp = spec.ceil_to(H, 16)
-    y, cb, cr = synth_clip(T, hp, W)
-    yd = jnp.asarray(y)
-    cbd = jnp.asarray(cb)
-    crd = jnp.asarray(cr)
-
     n_mbs = (hp // 16) * (W // 16)
     kw = dict(
         search="full", rc="none", block_words=_block_words_for_qp(30),
         cap_words=entropy.capacity_words(n_mbs, 1024), target_bits=0,
     )
-    outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
-    if bool(np.asarray(outs["ovf"]).any()):
-        print(json.dumps({"metric": "error", "value": 0, "unit": "",
-                          "vs_baseline": 0, "note": "capacity overflow"}))
-        return
 
-    # Sync by fetching a scalar, not block_until_ready: on the axon backend
-    # block_until_ready returns before execution finishes, so only a host
-    # fetch (in-order execution) gives honest timing.
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    def device_fps(t, reps):
+        """Steady-state device-resident rate at GOP length t: upload once,
+        loop the GOP program, sync with one host fetch. On the axon backend
+        block_until_ready returns before execution finishes, so only a host
+        fetch (in-order execution) gives honest timing; its one tunnel
+        round-trip amortizes over the reps."""
+        y, cb, cr = synth_clip(t, hp, W)
+        yd, cbd, crd = jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)
         outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
-    np.asarray(outs["bits"])
-    dt = (time.perf_counter() - t0) / reps
-    fps = T / dt
+        if bool(np.asarray(outs["ovf"]).any()):
+            raise RuntimeError("capacity overflow")
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
+        np.asarray(outs["bits"])
+        return t * reps / (time.perf_counter() - t0)
+
+    def e2e_fps(t):
+        """Upload-inclusive: fresh host arrays every GOP (tunnel-limited)."""
+        y, cb, cr = synth_clip(t, hp, W)
+        encode_gop_jit(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), 30, **kw)
+        t0 = time.perf_counter()
+        outs = encode_gop_jit(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), 30, **kw)
+        np.asarray(outs["bits"])
+        return t / (time.perf_counter() - t0)
+
+    try:
+        fps30 = device_fps(30, 4)
+        fps8 = device_fps(8, 5)
+        fpse2e = e2e_fps(30)
+    except RuntimeError as e:
+        print(json.dumps({"metric": "error", "value": 0, "unit": "",
+                          "vs_baseline": 0, "note": str(e)}))
+        return
 
     base = oracle_baseline_fps(W, H, 4)
     assumed = base is None
@@ -119,12 +136,17 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "1080p 4:2:0 device-resident encode fps/chip (full-search ME, GOP scan)",
-                "value": round(fps, 2),
+                "metric": "1080p 4:2:0 device-resident encode fps/chip (full-search ME, GOP=30 scan)",
+                "value": round(fps30, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / base, 2),
+                "vs_baseline": round(fps30 / base, 2),
                 "baseline_fps": round(base, 2),
                 "baseline_source": "assumed-15fps" if assumed else "cpp-oracle-1core",
+                "aux": {
+                    "gop8_fps": round(fps8, 2),
+                    "e2e_upload_inclusive_fps": round(fpse2e, 2),
+                    "e2e_note": "host->device link in this container is a ~26 MB/s tunnel; production DMA >10 GB/s",
+                },
             }
         )
     )

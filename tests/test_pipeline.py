@@ -83,7 +83,7 @@ def test_mux_rejects_duplicates(small_clip):
     pk, _ = encode_gop(cfg, engine, frames, 0, 0)
     mux = bitstream.OrderedMux(io.BytesIO(), cfg, 2)
     mux.push(pk[0])
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="already muxed"):
         mux.push(pk[0])
 
 

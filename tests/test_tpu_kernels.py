@@ -77,3 +77,29 @@ def test_dispatch_hier_odd_grids(rng, h, w):
     g = motion.hier_search(cur, ref)
     p = jax.jit(dispatch.hier_search)(cur, ref)
     assert all(bool(jnp.array_equal(a, b)) for a, b in zip(g, p))
+
+@pytest.mark.parametrize("h,w,qbias", [(368, 640, 8), (144, 208, 8),
+                                       (184, 320, 6), (1088, 1920, 8)])
+def test_code_plane_kernel(rng, h, w, qbias):
+    """Fused Pallas transform+quant+recon vs the staged jnp path — exact,
+    including non-tile-multiple heights (chroma shapes) and non-default
+    quant bias."""
+    from video_encoder_tpu.ops import dispatch
+
+    cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
+    pred = jnp.asarray(
+        np.clip(np.roll(np.asarray(cur), (2, 3), (0, 1))
+                + rng.integers(-20, 21, (h, w)), 0, 255), jnp.int32)
+    qps = rng.integers(1, 52, (h // 8, w // 8))
+    from video_encoder_tpu.ops import transform as tx
+    q_blk = tx.qstep(jnp.asarray(qps, jnp.int32))
+
+    dispatch.force("jnp")
+    try:
+        lz_w, rec_w = dispatch.code_plane(cur, pred, q_blk, qbias)
+        dispatch.force("pallas")
+        lz_g, rec_g = dispatch.code_plane(cur, pred, q_blk, qbias)
+    finally:
+        dispatch.force(None)
+    assert jnp.array_equal(lz_w, lz_g)
+    assert jnp.array_equal(rec_w, rec_g)

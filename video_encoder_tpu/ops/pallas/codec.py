@@ -1,0 +1,201 @@
+"""Fused Pallas transform+quant+recon kernel (reference components C9–C11,
+C14 — SURVEY.md §2.2 "C5–C11, C14 become Pallas kernels").
+
+One pass over each plane computes residual → forward ITX8 → quantize →
+dequantize → inverse ITX8 → clipped reconstruction, writing exactly two
+arrays (quantized levels in raster block layout, recon plane). The jnp path
+(ops/transform.py via pipeline/gop_engine._code_plane) materializes each
+stage in HBM; this kernel keeps everything in VMEM/registers.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+- All math is int32 on the VPU — no bf16 splits to prove exact, and no
+  8x8-matmul latency (the MXU is the wrong unit for K=8 contractions).
+- The 8x8 transform is computed as 15 masked sublane/lane rolls:
+  (B @ x)[8g+i, :] = sum_j B[i,j] x[8g+j, :]
+                   = sum_{s=-7..7} C_s[r] * roll(x, -s, 0)[r, :]
+  with C_s[r] = B[r%8, r%8+s] (0 outside the 8x8 group). Rolled rows that
+  cross a group boundary always carry a zero mask, so tile wraparound is
+  harmless. The lane-side multiply uses the same identity along axis 1.
+- Quantization divides by the per-block step via an exact f32-reciprocal
+  division (floor(n * (1/d)) plus a two-sided fixup): n <= ~87k and f32
+  carries 24 mantissa bits, so the estimate is off by at most 1 before the
+  fixup. Bit-exact with codec/spec.py quantize (the (16|c|+bias*q)//(16q)
+  form equals the (2|c|+q)//(2q) form when bias == 8).
+
+Value-range proof for int32 (matches ops/transform.py bounds):
+  |resid| <= 255; |t1| <= 8*502*255 ~ 1.0e6; |t1r| <= ~1001;
+  |coef| <= 8*502*1001 >> 10 ~ 3925; |deq| <= |coef| + q/2 <= ~4650;
+  |u1| <= 8*502*4650 ~ 18.7e6; |u1r| <= ~18254; |u2| <= 8*502*18254
+  ~ 73.3e6 < 2^31.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...codec import spec
+
+B_NP = np.asarray(spec.B_MATRIX, dtype=np.int32)
+SHIFT = spec.TX_SHIFT
+RND = 1 << (SHIFT - 1)
+
+
+def _coef_table(n: int, axis: int, transpose: bool) -> np.ndarray:
+    """Host-side coefficient table for the masked-roll multiply: column k
+    (k = s+7, s in [-7,7]) holds c_s with c_s[r] = B[r%8, r%8+s]
+    (B[r%8+s, r%8] when transpose), 0 where r%8+s leaves the 8x8 group.
+    Shaped [n, 15] for the sublane side and [15, n] for the lane side so
+    the kernel can slice broadcast-ready vectors without a relayout."""
+    t = np.zeros((n, 15), np.int32)
+    for s in range(-7, 8):
+        for r in range(n):
+            i = r % 8
+            j = i + s
+            if 0 <= j < 8:
+                t[r, s + 7] = B_NP[j, i] if transpose else B_NP[i, j]
+    return t if axis == 0 else t.T.copy()
+
+
+def _mul8(x, coef_ref, axis: int):
+    """The masked-roll 8x8 multiply: B @ x along sublanes (axis=0) or
+    x @ B^T along lanes (axis=1); the table input picks plain/transpose."""
+    n = x.shape[axis]
+    acc = None
+    for s in range(-7, 8):
+        if axis == 0:
+            c = coef_ref[:, s + 7 : s + 8]       # [n, 1]
+        else:
+            c = coef_ref[s + 7 : s + 8, :]       # [1, n]
+        term = c * pltpu.roll(x, (-s) % n, axis)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _rshift_round(v):
+    mag = (jnp.abs(v) + RND) >> SHIFT
+    return jnp.where(v < 0, -mag, mag)
+
+
+def _exact_div(n, d):
+    """floor(n / d) for int32 n in [0, ~2^20], d in [1, 2^17] — f32
+    reciprocal estimate plus a two-sided fixup (error <= 1 by the mantissa
+    bound in the module docstring)."""
+    df = d.astype(jnp.float32)
+    t = jnp.floor(n.astype(jnp.float32) * (1.0 / df)).astype(jnp.int32)
+    r = n - t * d
+    t = t + (r >= d).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    return t
+
+
+def _make_code_plane_kernel(th: int, tw: int, qbias: int):
+    def kernel(cur_ref, pred_ref, q_ref, bias_ref, cl_ref, cr_ref, clt_ref,
+               crt_ref, lv_ref, rec_ref):
+        pred = pred_ref[:]
+        x = cur_ref[:] - pred
+
+        t1 = _rshift_round(_mul8(x, cl_ref, 0))      # B @ x
+        coef = _rshift_round(_mul8(t1, cr_ref, 1))   # .. @ B^T
+
+        # per-8x8-block quant step at pixel resolution (expanded by the XLA
+        # wrapper: pltpu.repeat is np.tile, not np.repeat, so the interleaved
+        # expansion cannot be done here cheaply)
+        q = q_ref[:]
+
+        n = 16 * jnp.abs(coef) + bias_ref[:] * q
+        mag = _exact_div(n, 16 * q)
+        lv = jnp.where(coef < 0, -mag, mag)
+
+        deq = lv * q
+        u1 = _rshift_round(_mul8(deq, clt_ref, 0))   # B^T @ ..
+        u2 = _rshift_round(_mul8(u1, crt_ref, 1))    # .. @ B
+        rec = jnp.clip(u2 + pred, 0, 255)
+
+        lv_ref[:] = lv
+        rec_ref[:] = rec
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _code_plane_call(h: int, w: int, qbias: int):
+    th = 64 if h % 64 == 0 else 32
+    tw = 256 if w % 256 == 0 else 128
+    gy, gx = h // th, w // tw
+    kernel = _make_code_plane_kernel(th, tw, qbias)
+
+    # broadcast constant tables (numpy module consts -> HLO literals)
+    cl = _coef_table(th, 0, False)
+    cr = _coef_table(tw, 1, False)
+    clt = _coef_table(th, 0, True)
+    crt = _coef_table(tw, 1, True)
+    ri = np.arange(th) % 8
+    ci = np.arange(tw) % 8
+    bias16 = np.where(
+        (ri[:, None] == 0) & (ci[None, :] == 0), 8, int(qbias)
+    ).astype(np.int32)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+    def call(cur, pred, q_px):
+        return pl.pallas_call(
+            kernel,
+            grid=(gy, gx),
+            in_specs=[
+                pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                const_spec((th, tw)),
+                const_spec((th, 15)),
+                const_spec((15, tw)),
+                const_spec((th, 15)),
+                const_spec((15, tw)),
+            ],
+            out_specs=[
+                pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((h, w), jnp.int32),
+                jax.ShapeDtypeStruct((h, w), jnp.int32),
+            ],
+        )(cur, pred, q_px, jnp.asarray(bias16), jnp.asarray(cl),
+          jnp.asarray(cr), jnp.asarray(clt), jnp.asarray(crt))
+
+    return call
+
+
+def code_plane(cur: jnp.ndarray, pred: jnp.ndarray, q_blk: jnp.ndarray,
+               qbias: int = 8):
+    """Fused transform→quant→recon of one plane.
+
+    cur, pred: [H, W] int32 (H, W multiples of 16); q_blk: [H/8, W/8] int32
+    per-8x8-block quant steps. Returns (levels [H, W] int32 raster block
+    layout, recon [H, W] int32) — bit-exact with the jnp path in
+    pipeline/gop_engine._code_plane (levels there are zigzagged; callers
+    apply ops/transform.zigzag to blockified levels).
+    """
+    h, w = cur.shape
+    th = 64 if h % 64 == 0 else 32
+    tw = 256 if w % 256 == 0 else 128
+    hp = -(-h // th) * th
+    wp = -(-w // tw) * tw
+    q_px = jnp.repeat(jnp.repeat(q_blk, 8, 0), 8, 1)
+    if (hp, wp) != (h, w):
+        cur = jnp.pad(cur, ((0, hp - h), (0, wp - w)))
+        pred = jnp.pad(pred, ((0, hp - h), (0, wp - w)))
+        q_px = jnp.pad(
+            q_px, ((0, hp - h), (0, wp - w)), constant_values=1
+        )
+    call = _code_plane_call(hp, wp, qbias)
+    lv, rec = call(cur, pred, q_px)
+    if (hp, wp) != (h, w):
+        lv = lv[:h, :w]
+        rec = rec[:h, :w]
+    return lv, rec

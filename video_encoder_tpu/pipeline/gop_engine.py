@@ -45,15 +45,11 @@ def _code_plane(cur, pred, q_blk, qbias: int = 8):
     q_blk: per-8x8-block quantizer steps [H/8, W/8]. Keeping planes separate
     (instead of the blocks6 interleave) avoids ~3.5 ms/frame of XLA strided
     scatters at 1080p; the per-MB piece order is restored at the word level
-    in entropy.pack_frame_planes.
+    in entropy.pack_frame_planes. Routed through ops.dispatch: a fused
+    Pallas kernel on TPU (ops/pallas/codec.py), staged jnp elsewhere —
+    bit-exact pair.
     """
-    resid = tx.blockify(cur - pred, spec.BLK)
-    q = q_blk[:, :, None, None]
-    coefs = tx.forward_transform(resid)
-    lz = tx.zigzag(tx.quantize(coefs, q, qbias))
-    deq = tx.dequantize(tx.unzigzag(lz), q)
-    rec = jnp.clip(tx.unblockify(tx.inverse_transform(deq)) + pred, 0, 255)
-    return lz, rec
+    return dispatch.code_plane(cur, pred, q_blk, qbias)
 
 
 def _code_frame(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
