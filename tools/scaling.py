@@ -1,16 +1,15 @@
 """Scaling-efficiency harness (BASELINE.json configs 4-5: frames/s at
 1 chip / 1 host / N hosts, target >=80% efficiency).
 
-This container has ONE v5e chip (SURVEY.md §4.4), so: the 1-chip row is a
-real measurement; multi-chip rows run the *same* shard_map GOP-parallel
-program over N fake CPU devices to validate the scaling *code path* and
-report the communication volume (zero inter-chip bytes during GOP-parallel
-encode — GOPs are closed under prediction, so the expected efficiency on
-real hardware is bandwidth-trivial: uploads are per-chip-independent and
-the only collective is one psum scalar per batch). N-device bitstream
-correctness is covered by tests/test_parallel.py on the fake mesh. Real
-N-chip numbers require a pod; run this same file there under
-jax.distributed.
+Two kinds of rows, both MEASURED:
+ - devices=1, kind=tpu/cpu: single-process rate on this container's chip.
+ - processes=N, kind=cpu-multiprocess: N real jax.distributed processes on
+   localhost (gloo collectives), weak scaling (N GOPs over N one-device
+   processes) through parallel/multiprocess.py — the same shard_map program
+   that spans ICI/DCN on a pod. Efficiency is fps_N / (N * fps_1). Bytes
+   are asserted equal to the single-device encode inside every worker.
+
+Real N-chip TPU numbers still require a pod; run the same worker there.
 
 Usage: python tools/scaling.py [--devices 1 2 4 8]
 """
@@ -42,12 +41,12 @@ def one_chip_fps(w, h, t_frames=8, reps=3):
               block_words=entropy.BLOCK_WORDS_DEFAULT,
               cap_words=entropy.capacity_words(n_mbs, 1024), target_bits=0)
     outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
-    jax.block_until_ready(outs)
-    t0 = time.perf_counter()
+    np.asarray(outs["bits"])  # host-fetch sync: on axon, block_until_ready
+    t0 = time.perf_counter()  # returns before execution finishes
     for _ in range(reps):
         outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
-        jax.block_until_ready(outs)
-    return t_frames / ((time.perf_counter() - t0) / reps)
+    np.asarray(outs["bits"])
+    return t_frames * reps / (time.perf_counter() - t0)
 
 
 def main():
@@ -63,18 +62,40 @@ def main():
     fps1 = one_chip_fps(a.width, a.height)
     rows.append({"devices": 1, "measured_fps": round(fps1, 2),
                  "efficiency": 1.0, "kind": jax.devices()[0].platform})
-    for n in a.devices:
-        if n == 1:
+
+    # measured localhost multi-process rows (weak scaling, byte-verified)
+    from video_encoder_tpu.parallel import multiprocess as mp
+
+    mp_w, mp_h, mp_t = 320, 192, 4
+    mp_fps1 = None
+    ncores = os.cpu_count() or 1
+    for n in sorted({1, *a.devices}):
+        if n > ncores:
+            rows.append({
+                "processes": n, "kind": "cpu-multiprocess",
+                "skipped": f"host has {ncores} cores; weak scaling beyond "
+                           "them measures timeslicing, not the comm path",
+            })
             continue
-        # GOP-parallelism has zero inter-chip data: projected scaling is
-        # linear minus the psum scalar; record the projection + the code-path
-        # correctness on fake devices when available.
+        extra = ["--gops", str(n), "--frames", str(mp_t),
+                 "--width", str(mp_w), "--height", str(mp_h),
+                 "--qp", "28", "--search", "diamond", "--rc", "none"]
+        try:
+            wrows = mp.spawn(n, 13400 + n, extra)
+        except (OSError, RuntimeError) as e:
+            rows.append({"processes": n, "kind": "cpu-multiprocess",
+                         "error": str(e)[:200]})
+            continue
+        fps = wrows[0]["fps"]  # global rate, identical across workers
+        if n == 1:
+            mp_fps1 = fps
         rows.append({
-            "devices": n,
-            "projected_fps": round(fps1 * n, 2),
-            "projected_efficiency": 1.0,
+            "processes": n,
+            "kind": "cpu-multiprocess",
+            "resolution": f"{mp_w}x{mp_h}",
+            "measured_fps": round(fps, 2),
+            "efficiency": round(fps / (n * mp_fps1), 3) if mp_fps1 else None,
             "comm_bytes_per_gop": 4,  # one psum int32
-            "note": "GOPs closed under prediction; needs a pod to measure",
         })
     print(json.dumps(rows, indent=1))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_results.json")

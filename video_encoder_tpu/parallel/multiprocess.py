@@ -1,0 +1,257 @@
+"""Multi-process distributed encode — the DCN-shaped comm path, exercised
+for real (SURVEY.md §2.1/§5 comm-backend rows; BASELINE.json config 5).
+
+One coordinator + N worker processes (jax.distributed) build a single global
+('gop',) mesh; the SAME shard_map program as the single-process path
+(parallel/gop_parallel.encode_gop_batch_sharded) then spans processes. On a
+TPU pod the axis rides ICI/DCN; on a dev box the workers are N one-device
+CPU processes with gloo collectives — the identical code path, which is the
+point: the bytes each worker emits must equal the single-process encode.
+
+Run the self-contained launcher (spawns workers, verifies byte-equality,
+reports measured scaling):
+
+    python -m video_encoder_tpu.parallel.multiprocess --spawn 2
+
+or run workers by hand on separate hosts with --process-id/--num-processes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def init_localhost_cpu(process_id: int, num_processes: int, port: int) -> None:
+    """Bring up this process as one member of a localhost CPU 'pod': pin the
+    cpu platform BEFORE first backend use (the axon sitecustomize pre-pins
+    TPU), select gloo cross-process collectives, join the coordinator."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def synth_gops(n_gops: int, t: int, h: int, w: int, seed: int = 7):
+    """Deterministic 4:2:0 GOP batch every process can rebuild identically:
+    textured pan + moving square + noise. Returns uint8 [G,T,H,W] planes."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h + 64, w + 64)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)) // 3
+    ys = np.empty((n_gops, t, h, w), np.uint8)
+    cbs = np.empty((n_gops, t, h // 2, w // 2), np.uint8)
+    crs = np.empty((n_gops, t, h // 2, w // 2), np.uint8)
+    for g in range(n_gops):
+        for k in range(t):
+            oy, ox = (2 * (g * t + k)) % 48, (3 * (g * t + k)) % 48
+            y = base[oy : oy + h, ox : ox + w].copy()
+            sy, sx = (5 * k + 11 * g) % max(h - 16, 1), (7 * k) % max(w - 16, 1)
+            y[sy : sy + 16, sx : sx + 16] = 230
+            ys[g, k] = np.clip(y + rng.integers(-2, 3, y.shape), 0, 255)
+            cbs[g, k] = 110 + (g + k) % 8
+            crs[g, k] = 145
+    return ys, cbs, crs
+
+
+def make_global_batch(mesh, y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """Assemble process-spanning arrays sharded P('gop') from replicated
+    host data; each process materializes only its own shards."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("gop"))
+
+    def mk(a):
+        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+    return mk(y), mk(cb), mk(cr)
+
+
+def encode_gops_multiprocess(cfg, y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """Encode a replicated [G,T,...] GOP batch over the global 'gop' mesh.
+
+    Returns (local_gop_indices, {gop_index: [(qp, bits, payload_bytes)]},
+    encode_seconds). Packet tuples rather than FramePackets keep this
+    callable before frame numbering is assigned; callers map gop_index ->
+    first frame index. Overflow falls back to worst-case capacity exactly
+    like the single-process driver.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh
+
+    from ..codec import entropy, spec
+    from ..pipeline.gop_engine import _block_words_for_qp, _bucket
+    from .gop_parallel import encode_gop_batch_sharded
+
+    devs = jax.devices()
+    g = y.shape[0]
+    if g % len(devs):
+        raise ValueError(f"G={g} must divide over {len(devs)} global devices")
+    mesh = Mesh(np.array(devs), ("gop",))
+    yd, cbd, crd = make_global_batch(mesh, y, cb, cr)
+    n_mbs = (y.shape[2] // spec.MB) * (y.shape[3] // spec.MB)
+
+    def run(xl: bool):
+        bw = entropy.BLOCK_WORDS_MAX if xl else _block_words_for_qp(cfg.base_qp)
+        cap = entropy.max_words(n_mbs) if xl else entropy.capacity_words(n_mbs, 1024)
+        return encode_gop_batch_sharded(
+            yd, cbd, crd, cfg.base_qp,
+            mesh=mesh, search=cfg.search, rc=cfg.rc, block_words=bw,
+            cap_words=cap, target_bits=cfg.target_bits_per_frame(),
+            fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
+            qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
+        )
+
+    # warm-up compile, then a barriered timed pass (the measured row)
+    outs, _ = run(False)
+    jax.block_until_ready(outs["bits"])
+    multihost_utils.sync_global_devices("mp-encode-t0")
+    t0 = time.perf_counter()
+    outs, _ = run(False)
+    jax.block_until_ready(outs["bits"])
+    multihost_utils.sync_global_devices("mp-encode-t1")
+    dt = time.perf_counter() - t0
+
+    ovf_local = any(
+        bool(np.asarray(s.data).any()) for s in outs["ovf"].addressable_shards
+    )
+    ovf = bool(np.any(multihost_utils.process_allgather(jnp.asarray(ovf_local))))
+    if ovf:
+        outs, _ = run(True)
+        jax.block_until_ready(outs["bits"])
+
+    local: dict[int, list[tuple[int, int, bytes]]] = {}
+    bits_shards = {s.index[0]: np.asarray(s.data) for s in outs["bits"].addressable_shards}
+    qp_shards = {s.index[0]: np.asarray(s.data) for s in outs["qp"].addressable_shards}
+    word_shards = {s.index[0]: np.asarray(s.data) for s in outs["words"].addressable_shards}
+    for gsl, bits in bits_shards.items():
+        qps = qp_shards[gsl]
+        words = word_shards[gsl]
+        for j in range(bits.shape[0]):
+            gidx = (gsl.start or 0) + j
+            pkts = []
+            for t in range(bits.shape[1]):
+                nw = (int(bits[j, t]) + 31) // 32
+                payload = (
+                    words[j, t, :nw].astype(">u4").tobytes()
+                )
+                pkts.append((int(qps[j, t]), int(bits[j, t]), payload))
+            local[gidx] = pkts
+    return sorted(local), local, dt
+
+
+def _worker(a) -> int:
+    init_localhost_cpu(a.process_id, a.num_processes, a.port)
+
+    from ..codec.config import EncoderConfig
+
+    cfg = EncoderConfig(
+        width=a.width, height=a.height, gop_n=a.frames, base_qp=a.qp,
+        search=a.search, rc=a.rc,
+        target_kbps=256 if a.rc != "none" else 0,
+        fps_num=30 if a.rc != "none" else 0,
+    )
+    y, cb, cr = synth_gops(a.gops, a.frames, a.height, a.width)
+    owned, local, dt = encode_gops_multiprocess(cfg, y, cb, cr)
+
+    # byte-equality vs the single-device engine for the GOPs this process
+    # owns — the invariant that makes the distributed path trustworthy
+    from ..codec.golden import Frame
+    from ..pipeline.gop_engine import GopEngine
+
+    eng = GopEngine(cfg)
+    n_bad = 0
+    for g in owned:
+        frames = [
+            Frame.from_planes(y[g, t], cb[g, t], cr[g, t])
+            for t in range(a.frames)
+        ]
+        want, _ = eng.encode_gop(frames, g * a.frames)
+        got = local[g]
+        if [(p.base_qp, p.payload_bits, p.payload) for p in want] != got:
+            n_bad += 1
+    print(json.dumps({
+        "process_id": a.process_id, "owned_gops": owned,
+        "encode_s": round(dt, 4), "mismatched_gops": n_bad,
+        "fps": round(a.gops * a.frames / dt, 2),
+    }), flush=True)
+    return 1 if n_bad else 0
+
+
+def spawn(n: int, port: int, extra: list[str]) -> list[dict]:
+    """Launch n worker processes on localhost; returns their result rows.
+    Raises on nonzero exits or mismatched bytes."""
+    procs = []
+    env = dict(os.environ)
+    # one thread per worker: scaling rows then compare like against like
+    # instead of measuring thread-pool contention on small hosts
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=1 "
+        "--xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
+    )
+    env.pop("JAX_PLATFORMS", None)
+    for i in range(n):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "video_encoder_tpu.parallel.multiprocess",
+                 "--process-id", str(i), "--num-processes", str(n),
+                 "--port", str(port), *extra],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                env=env, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            )
+        )
+    rows = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        line = [l for l in out.splitlines() if l.startswith("{")]
+        if p.returncode != 0 or not line:
+            raise RuntimeError(
+                f"worker exited rc={p.returncode}, stdout={out[-400:]!r}"
+            )
+        rows.append(json.loads(line[-1]))
+    if any(r["mismatched_gops"] for r in rows):
+        raise RuntimeError(f"distributed bytes != single-device bytes: {rows}")
+    return rows
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spawn", type=int, default=0,
+                    help="launch N localhost workers and verify")
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--port", type=int, default=12731)
+    ap.add_argument("--gops", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--qp", type=int, default=28)
+    ap.add_argument("--search", default="diamond")
+    ap.add_argument("--rc", default="none")
+    a = ap.parse_args()
+    if a.spawn:
+        extra = ["--gops", str(a.gops), "--frames", str(a.frames),
+                 "--width", str(a.width), "--height", str(a.height),
+                 "--qp", str(a.qp), "--search", a.search, "--rc", a.rc]
+        rows = spawn(a.spawn, a.port, extra)
+        print(json.dumps({"ok": True, "workers": rows}, indent=1))
+        return 0
+    return _worker(a)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
