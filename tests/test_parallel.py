@@ -165,3 +165,123 @@ def test_tile_sharded_vbv_equals_single(rng):
         )
         assert nbits == ref_pk[k].payload_bits
         assert payload == ref_pk[k].payload
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (fake) devices")
+@pytest.mark.parametrize("n_gop,n_tile", [(8, 1), (4, 2), (2, 4)])
+def test_2d_mesh_equals_single(rng, n_gop, n_tile):
+    """ONE shard_map program sharding the GOP batch over 'gop' AND MB rows
+    over 'tile' simultaneously is byte-identical to single-device encodes
+    at every mesh factoring (SURVEY.md §3.4; VERDICT r1 missing #2)."""
+    h, w, t = 64, 32, 2
+    frames = _smooth_frames(rng, h, w, 8 * t)
+    gops = [frames[i : i + t] for i in range(0, 8 * t, t)]
+    cfg = EncoderConfig(width=w, height=h, gop_n=t, base_qp=27, search="full")
+
+    eng = GopEngine(cfg)
+    ref = []
+    for g, gop in enumerate(gops):
+        pk, _ = eng.encode_gop(gop, g * t)
+        ref += pk
+
+    mesh = Mesh(np.array(jax.devices()[: n_gop * n_tile]).reshape(n_gop, n_tile),
+                ("gop", "tile"))
+    senc = ShardedGopEncoder(cfg, mesh=mesh)
+    pk = senc.encode_gop_batch(gops, [g * t for g in range(8)])
+    ref.sort(key=lambda p: p.index)
+    pk.sort(key=lambda p: p.index)
+    assert [p.to_bytes() for p in ref] == [p.to_bytes() for p in pk]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (fake) devices")
+def test_2d_mesh_vbv_equals_single(rng):
+    """The fused 2-D program under rc=vbv: tile shards share the psum'd
+    frame total, gop shards are RC-independent — still byte-identical."""
+    h, w, t = 64, 32, 3
+    frames = _smooth_frames(rng, h, w, 4 * t)
+    gops = [frames[i : i + t] for i in range(0, 4 * t, t)]
+    cfg = EncoderConfig(width=w, height=h, gop_n=t, base_qp=24, search="full",
+                        rc="vbv", target_kbps=50, vbv_kbits=10,
+                        format_version=2, chroma_qp_offset=2)
+
+    eng = GopEngine(cfg)
+    ref = []
+    for g, gop in enumerate(gops):
+        pk, _ = eng.encode_gop(gop, g * t)
+        ref += pk
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("gop", "tile"))
+    senc = ShardedGopEncoder(cfg, mesh=mesh)
+    pk = senc.encode_gop_batch(gops, [g * t for g in range(4)])
+    ref.sort(key=lambda p: p.index)
+    pk.sort(key=lambda p: p.index)
+    assert [p.to_bytes() for p in ref] == [p.to_bytes() for p in pk]
+
+
+def test_pack_frame_rows_concat_equals_frame(rng):
+    """Per-MB-row pack strings concatenate to exactly the frame pack."""
+    from video_encoder_tpu.codec import entropy
+
+    nby, nbx = 4, 6
+    lz_y = jnp.asarray(
+        rng.integers(-3, 4, (2 * nby, 2 * nbx, 64))
+        * (rng.random((2 * nby, 2 * nbx, 64)) < 0.2), jnp.int32)
+    lz_c = jnp.asarray(
+        rng.integers(-3, 4, (nby, nbx, 64))
+        * (rng.random((nby, nbx, 64)) < 0.2), jnp.int32)
+    qpd = jnp.asarray(rng.integers(-2, 3, (nby, nbx)), jnp.int32)
+    is_inter = jnp.asarray(rng.random((nby, nbx)) < 0.7)
+    dy = jnp.asarray(rng.integers(-8, 9, (nby, nbx)), jnp.int32)
+    dx = jnp.asarray(rng.integers(-8, 9, (nby, nbx)), jnp.int32)
+    bw_, cap = entropy.BLOCK_WORDS_MAX, entropy.max_words(nby * nbx)
+
+    w_f, bits_f, _, ovf_f = entropy.pack_frame_planes(
+        lz_y, lz_c, lz_c, qpd, jnp.asarray(True), is_inter, dy, dx, bw_, cap)
+    w_r, bits_r, _, ovf_r = entropy.pack_frame_rows(
+        lz_y, lz_c, lz_c, qpd, jnp.asarray(True), is_inter, dy, dx, bw_,
+        entropy.max_words(nbx))
+    assert not bool(ovf_f) and not bool(ovf_r)
+    payload, nbits = tiles.bit_concat(
+        [(np.asarray(w_r[r]), int(bits_r[r])) for r in range(nby)])
+    assert nbits == int(bits_f)
+    nw = (nbits + 31) // 32
+    want = np.asarray(w_f[:nw]).astype(">u4").tobytes()
+    assert payload == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 (fake) devices")
+@pytest.mark.parametrize("sr,sc,rc", [(2, 2, "none"), (1, 4, "none"),
+                                      (2, 2, "vbv")])
+def test_tile2d_sharded_equals_single(rng, sr, sc, rc):
+    """2-D (rows x cols) tile sharding with corner-correct halo is
+    byte-identical to single-device (VERDICT r1 next-step #6)."""
+    from video_encoder_tpu.codec import entropy
+
+    h, w, t = 64, 128, 3
+    frames = _smooth_frames(rng, h, w, t, slide=5)
+    kw = dict(width=w, height=h, gop_n=t, base_qp=26, search="full", rc=rc)
+    if rc == "vbv":
+        kw.update(target_kbps=80, vbv_kbits=16)
+    cfg = EncoderConfig(**kw)
+    ref_pk, _ = GopEngine(cfg).encode_gop(frames, 0)
+
+    mesh = Mesh(np.array(jax.devices()[: sr * sc]).reshape(sr, sc),
+                ("tr", "tc"))
+    y = jnp.asarray(np.stack([f.y for f in frames]).astype(np.uint8))
+    cb = jnp.asarray(np.stack([f.cb for f in frames]).astype(np.uint8))
+    cr = jnp.asarray(np.stack([f.cr for f in frames]).astype(np.uint8))
+    nbx_s = w // sc // 16
+    outs = tiles.encode_gop_tiled2d(
+        y, cb, cr, 26, mesh=mesh, rc=rc,
+        block_words=entropy.BLOCK_WORDS_MAX,
+        row_words=entropy.max_words(nbx_s),
+        target_bits=cfg.target_bits_per_frame(),
+        vbv_bits=cfg.vbv_bits(),
+    )
+    assert not bool(np.asarray(outs["ovf"]).any())
+    words = np.asarray(outs["words"])
+    row_bits = np.asarray(outs["row_bits"])
+    for k in range(t):
+        payload, nbits = tiles.assemble_frame_2d(words, row_bits, k)
+        assert nbits == ref_pk[k].payload_bits
+        assert payload == ref_pk[k].payload

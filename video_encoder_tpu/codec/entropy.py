@@ -439,26 +439,12 @@ def pack_frame_planes_v2(
     return words, total_bits, mb_bits.reshape(nby, nbx), ovf
 
 
-def pack_frame_planes(
-    levels_y8: jnp.ndarray,  # [2*nby, 2*nbx, 64] luma 8x8-block levels
-    levels_cb: jnp.ndarray,  # [nby, nbx, 64]
-    levels_cr: jnp.ndarray,  # [nby, nbx, 64]
-    qp_delta: jnp.ndarray,
-    is_p_frame,
-    is_inter: jnp.ndarray,
-    dy: jnp.ndarray,
-    dx: jnp.ndarray,
-    block_words: int,
-    n_words: int,
+def _frame_pieces(
+    levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
+    dy, dx, block_words,
 ):
-    """pack_frame_blocked on per-plane level arrays (no blocks6 interleave).
-
-    Interleaving residual PIXELS into the [nby, nbx, 6, 8, 8] layout costs
-    ~3.5 ms/frame at 1080p in XLA strided scatters; reordering the packed
-    per-block WORD buffers instead touches 60x less data. Bit-exact with
-    pack_frame_blocked (tests/test_entropy.py): the piece order per MB stays
-    header, Y(2by,2bx), Y(2by,2bx+1), Y(2by+1,2bx), Y(2by+1,2bx+1), Cb, Cr.
-    """
+    """Shared v1 piece construction: per-MB [8, W] word strings + bit counts
+    in the piece order header, Y00, Y01, Y10, Y11, Cb, Cr, (empty)."""
     nby, nbx = qp_delta.shape
     n_mbs = nby * nbx
 
@@ -501,15 +487,76 @@ def pack_frame_planes(
         axis=1,
     )
     mb_bits = piece_bits[:, :7].sum(axis=1)
+    return piece_words, piece_bits, mb_bits, ovf_h | ovf_y | ovf_cb | ovf_cr
 
+
+def pack_frame_planes(
+    levels_y8: jnp.ndarray,  # [2*nby, 2*nbx, 64] luma 8x8-block levels
+    levels_cb: jnp.ndarray,  # [nby, nbx, 64]
+    levels_cr: jnp.ndarray,  # [nby, nbx, 64]
+    qp_delta: jnp.ndarray,
+    is_p_frame,
+    is_inter: jnp.ndarray,
+    dy: jnp.ndarray,
+    dx: jnp.ndarray,
+    block_words: int,
+    n_words: int,
+):
+    """pack_frame_blocked on per-plane level arrays (no blocks6 interleave).
+
+    Interleaving residual PIXELS into the [nby, nbx, 6, 8, 8] layout costs
+    ~3.5 ms/frame at 1080p in XLA strided scatters; reordering the packed
+    per-block WORD buffers instead touches 60x less data. Bit-exact with
+    pack_frame_blocked (tests/test_entropy.py): the piece order per MB stays
+    header, Y(2by,2bx), Y(2by,2bx+1), Y(2by+1,2bx), Y(2by+1,2bx+1), Cb, Cr.
+    """
+    nby, nbx = qp_delta.shape
+    n_mbs = nby * nbx
+    piece_words, piece_bits, mb_bits, ovf = _frame_pieces(
+        levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
+        dy, dx, block_words,
+    )
     words, total_bits = tree_concat(
         piece_words.reshape(n_mbs * 8, block_words),
         piece_bits.reshape(n_mbs * 8),
         n_words,
     )
     ovf_f = total_bits > 32 * n_words
-    ovf = ovf_h | ovf_y | ovf_cb | ovf_cr | ovf_f
-    return words, total_bits, mb_bits.reshape(nby, nbx), ovf
+    return words, total_bits, mb_bits.reshape(nby, nbx), ovf | ovf_f
+
+
+def pack_frame_rows(
+    levels_y8: jnp.ndarray,
+    levels_cb: jnp.ndarray,
+    levels_cr: jnp.ndarray,
+    qp_delta: jnp.ndarray,
+    is_p_frame,
+    is_inter: jnp.ndarray,
+    dy: jnp.ndarray,
+    dx: jnp.ndarray,
+    block_words: int,
+    row_words: int,
+):
+    """v1 pack emitting one bit string PER MB ROW: (row_strings
+    [nby, row_words], row_bits [nby], mb_bits, ovf).
+
+    The frame payload is the in-order bit-concatenation of the row strings;
+    2-D (row x column) tile sharding needs this granularity because a
+    frame's MB raster order interleaves the column shards within each row
+    (parallel/tiles.encode_gop_tiled2d glues rows across 'tc' shards)."""
+    nby, nbx = qp_delta.shape
+    piece_words, piece_bits, mb_bits, ovf = _frame_pieces(
+        levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
+        dy, dx, block_words,
+    )
+    words, row_bits = jax.vmap(
+        lambda pw, pb: tree_concat(pw, pb, row_words)
+    )(
+        piece_words.reshape(nby, nbx * 8, block_words),
+        piece_bits.reshape(nby, nbx * 8),
+    )
+    ovf_f = (row_bits > 32 * row_words).any()
+    return words, row_bits, mb_bits.reshape(nby, nbx), ovf | ovf_f
 
 
 def _shift_words_right(x: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -78,12 +78,18 @@ def encode_gop_batch_sharded(
 
 class ShardedGopEncoder:
     """Host driver: groups GOPs into device-count batches, encodes them in
-    parallel, emits FramePackets for the ordered mux (C13)."""
+    parallel, emits FramePackets for the ordered mux (C13).
+
+    With a 2-D mesh (tile axis > 1) the fused program shards the GOP batch
+    over 'gop' AND each frame's MB rows over 'tile' in one shard_map
+    (parallel/tiles.encode_gop_batch_2d); frame payloads are restored by
+    bit-concatenating the tile shards in order."""
 
     def __init__(self, cfg: EncoderConfig, mesh=None):
         self.cfg = cfg
         self.mesh = mesh or make_codec_mesh(tile_devices=1)
         self.n_gop_devices = self.mesh.shape["gop"]
+        self.n_tile_devices = self.mesh.shape.get("tile", 1)
 
     def encode_gop_batch(
         self, gops: list[list[Frame]], first_indices: list[int], base_qp: int | None = None
@@ -94,7 +100,8 @@ class ShardedGopEncoder:
         y = jnp.asarray(np.stack([[f.y for f in g] for g in gops]).astype(np.uint8))
         cb = jnp.asarray(np.stack([[f.cb for f in g] for g in gops]).astype(np.uint8))
         cr = jnp.asarray(np.stack([[f.cr for f in g] for g in gops]).astype(np.uint8))
-        n_mbs = (y.shape[2] // spec.MB) * (y.shape[3] // spec.MB)
+        ntile = self.n_tile_devices
+        n_mbs = (y.shape[2] // spec.MB) * (y.shape[3] // spec.MB) // ntile
 
         def run(xl: bool):
             if xl:
@@ -103,18 +110,46 @@ class ShardedGopEncoder:
             else:
                 bw = _block_words_for_qp(base_qp)
                 cap = entropy.capacity_words(n_mbs, 1024)
-            return encode_gop_batch_sharded(
-                y, cb, cr, base_qp,
-                mesh=self.mesh, search=cfg.search, rc=cfg.rc, block_words=bw,
-                cap_words=cap,
+            kw = dict(
+                mesh=self.mesh, rc=cfg.rc, block_words=bw, cap_words=cap,
                 target_bits=cfg.target_bits_per_frame(),
                 fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
                 qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
+            )
+            if ntile > 1:
+                from .tiles import encode_gop_batch_2d
+
+                # tile path uses the haloed full search (cfg.search other
+                # than "full" is rejected by the caller contract)
+                return encode_gop_batch_2d(y, cb, cr, base_qp, **kw), None
+            return encode_gop_batch_sharded(
+                y, cb, cr, base_qp, search=cfg.search, **kw
             )
 
         outs, _ = run(False)
         if bool(np.asarray(outs["ovf"]).any()):
             outs, _ = run(True)
+
+        if ntile > 1:
+            from .tiles import bit_concat
+
+            bits = np.asarray(outs["bits"])   # [G, S, T]
+            qps = np.asarray(outs["qp"])      # [G, S, T]
+            words = np.asarray(outs["words"])  # [G, S, T, cap]
+            packets = []
+            for g in range(len(gops)):
+                for t in range(len(gops[g])):
+                    payload, nbits = bit_concat(
+                        [(words[g, s, t], int(bits[g, s, t]))
+                         for s in range(ntile)]
+                    )
+                    packets.append(
+                        FramePacket(
+                            first_indices[g] + t, 0 if t == 0 else 1,
+                            int(qps[g, 0, t]), nbits, payload,
+                        )
+                    )
+            return packets
 
         bits = np.asarray(outs["bits"])      # [G, T]
         qps = np.asarray(outs["qp"])

@@ -27,18 +27,21 @@ from jax.sharding import PartitionSpec as P
 
 from ..codec import entropy, spec
 from ..ops import dispatch, motion, transform as tx
-from ..pipeline.gop_engine import _code_frame
+from ..pipeline.gop_engine import _code_frame, rc_carry_step
 
 HALO_Y = spec.SEARCH_R  # 16 luma halo rows
 HALO_C = spec.BLK       # 8 chroma halo rows
 
 
-def exchange_halo(plane, halo, axis_name):
-    """[h, w] shard -> [h + 2*halo, w] with neighbor strips via ppermute.
+def exchange_halo(plane, halo, axis_name, axis: int = 0):
+    """[h, w] shard -> extended by 2*halo along `axis` with neighbor strips
+    via ppermute.
 
     Boundary shards edge-replicate their own first/last rows, matching the
     unsharded pad_ref semantics exactly.
     """
+    if axis == 1:
+        return exchange_halo(plane.T, halo, axis_name).T
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     top_own = jnp.repeat(plane[:1], halo, axis=0)
@@ -57,6 +60,15 @@ def exchange_halo(plane, halo, axis_name):
     return jnp.concatenate([top, plane, bot], axis=0)
 
 
+def exchange_halo_2d(plane, halo, ar: str, ac: str):
+    """[h, w] shard -> [h+2*halo, w+2*halo]: row halo along mesh axis `ar`,
+    then column halo along `ac` ON THE ROW-EXTENDED plane, so the four
+    corner patches arrive from the diagonal neighbors (two-hop corner
+    exchange — SURVEY.md §2.1 TP row "2D-mesh neighbors")."""
+    p = exchange_halo(plane, halo, ar, axis=0)
+    return exchange_halo(p, halo, ac, axis=1)
+
+
 def gather_ref(plane, halo, axis_name):
     """all_gather variant: full frame to every shard, then local+halo slice."""
     n = jax.lax.axis_size(axis_name)
@@ -70,9 +82,16 @@ def gather_ref(plane, halo, axis_name):
 
 
 def _full_search_haloed(cur, ref_ext):
-    """Full search where ref_ext already carries the vertical halo rows."""
+    """Full search where ref_ext already carries the vertical halo rows.
+    When ref_ext is wider than cur (2-D tiles) it also carries the
+    horizontal halo; otherwise the columns edge-replicate like pad_ref."""
     h, w = cur.shape
-    refpad = jnp.pad(ref_ext, ((0, 0), (spec.SEARCH_R, spec.SEARCH_R)), mode="edge")
+    if ref_ext.shape[1] == w:
+        refpad = jnp.pad(
+            ref_ext, ((0, 0), (spec.SEARCH_R, spec.SEARCH_R)), mode="edge"
+        )
+    else:
+        refpad = ref_ext
 
     def step(carry, k):
         best_sad, best_k = carry
@@ -94,7 +113,10 @@ def _full_search_haloed(cur, ref_ext):
 
 
 def _mc_haloed(ref_ext, dy, dx, bs, r):
-    refpad = jnp.pad(ref_ext, ((0, 0), (r, r)), mode="edge")
+    if ref_ext.shape[1] == dy.shape[1] * bs:
+        refpad = jnp.pad(ref_ext, ((0, 0), (r, r)), mode="edge")
+    else:
+        refpad = ref_ext  # 2-D tiles: horizontal halo already present
     return tx.unblockify(motion.mc_fetch(refpad, dy, dx, bs, r))
 
 
@@ -133,8 +155,29 @@ def encode_frame_tile_traced(
         pred_cb = jnp.full_like(cur_cb, 128)
         pred_cr = jnp.full_like(cur_cr, 128)
 
+    # v2 prediction is left-only within MB rows (SPEC.md §12), so the
+    # row-sharded pack needs no cross-shard state
+    pack = entropy.pack_frame_planes_v2 if fmt >= 2 else entropy.pack_frame_planes
+
     if rc == "adaptive":
         qp_mb = motion.adaptive_qp(base_qp, icost)
+    elif rc == "mb":
+        # SPEC.md §10.4 is row-local (pace vs the MB row's own total), so
+        # each tile shard's pass-1 probe is self-contained — no collective
+        flat = jnp.full((nby, nbx), base_qp, jnp.int32)
+        (p_y, p_cb, p_cr), _, _, _ = _code_frame(
+            cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, flat,
+            cqpo if fmt >= 2 else 0, qbias,
+        )
+        _, _, est, _ = pack(
+            p_y, p_cb, p_cr, flat - base_qp, jnp.asarray(is_p), is_inter,
+            dy, dx, block_words, cap_words,
+        )
+        from ..pipeline.gop_engine import mb_rc_offsets_jnp
+
+        qp_mb = jnp.clip(
+            base_qp + mb_rc_offsets_jnp(est), spec.QP_MIN, spec.QP_MAX
+        )
     else:
         qp_mb = jnp.full((nby, nbx), base_qp, jnp.int32)
 
@@ -142,9 +185,6 @@ def encode_frame_tile_traced(
         cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
         cqpo if fmt >= 2 else 0, qbias,
     )
-    # v2 prediction is left-only within MB rows (SPEC.md §12), so the
-    # row-sharded pack needs no cross-shard state
-    pack = entropy.pack_frame_planes_v2 if fmt >= 2 else entropy.pack_frame_planes
     words, bits, mb_bits, ovf_p = pack(
         lz_y, lz_cb, lz_cr, qp_mb - base_qp, jnp.asarray(is_p), is_inter,
         dy, dx, block_words, cap_words,
@@ -157,10 +197,65 @@ def encode_frame_tile_traced(
     )
 
 
+def tile_gop_scan(
+    y, cb, cr, base_qp,
+    *, rc, block_words, cap_words, target_bits, ref_mode="halo",
+    fmt: int = 1, cqpo: int = 0, qbias: int = 8, vbv_bits: int = 0,
+):
+    """Per-shard GOP scan over one GOP's local row shards [T, H/ntile, W].
+
+    Runs inside shard_map with a live 'tile' axis (halo ppermute + psum
+    bit totals); shared by the 1-D tile program and the fused 2-D
+    ('gop','tile') program, so both are byte-identical by construction."""
+
+    def body(carry, xs):
+        ref_y, ref_cb, ref_cr, qp, fullness = carry
+        cur_y = xs["y"].astype(jnp.int32)
+        cur_cb = xs["cb"].astype(jnp.int32)
+        cur_cr = xs["cr"].astype(jnp.int32)
+        kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
+                  fmt=fmt, cqpo=cqpo, qbias=qbias)
+        out = jax.lax.cond(
+            xs["i"] > 0,
+            lambda: encode_frame_tile_traced(
+                cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp,
+                is_p=True, ref_mode=ref_mode, **kw
+            ),
+            lambda: encode_frame_tile_traced(
+                cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp,
+                is_p=False, ref_mode=ref_mode, **kw
+            ),
+        )
+        qp_used = qp
+        # rc carry on the psum'd frame total (out["frame_bits"]), so every
+        # tile shard derives the identical next qp (gop_engine.rc_carry_step
+        # semantics on the global bits)
+        qp, fullness = rc_carry_step(
+            rc, target_bits, vbv_bits, qp, fullness, out["frame_bits"]
+        )
+        carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp, fullness)
+        emit = dict(words=out["words"], bits=out["bits"], ovf=out["ovf"],
+                    n_inter=out["n_inter"], qp=qp_used)
+        return carry, emit
+
+    t_frames = y.shape[0]
+    init = (
+        jnp.zeros(y.shape[1:], jnp.int32),
+        jnp.zeros(cb.shape[1:], jnp.int32),
+        jnp.zeros(cr.shape[1:], jnp.int32),
+        jnp.asarray(base_qp, jnp.int32),
+        jnp.asarray(spec.vbv_init(vbv_bits), jnp.int32),
+    )
+    xs = dict(y=y, cb=cb, cr=cr, i=jnp.arange(t_frames, dtype=jnp.int32))
+    _, outs = jax.lax.scan(body, init, xs)
+    return outs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "rc", "block_words", "cap_words",
-                     "target_bits", "ref_mode", "fmt", "cqpo"),
+                     "target_bits", "ref_mode", "fmt", "cqpo", "qbias",
+                     "vbv_bits"),
 )
 def encode_gop_tiled(
     y_u8, cb_u8, cr_u8, base_qp,
@@ -172,58 +267,12 @@ def encode_gop_tiled(
     y_u8: [T, H, W] uint8 (H/16 divisible by tile devices). Output words/
     bits are per-shard, P('tile') on their leading shard axis.
     """
+    kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
+              target_bits=target_bits, ref_mode=ref_mode, fmt=fmt,
+              cqpo=cqpo, qbias=qbias, vbv_bits=vbv_bits)
 
     def per_shard(y, cb, cr):
-        def body(carry, xs):
-            ref_y, ref_cb, ref_cr, qp, fullness = carry
-            cur_y = xs["y"].astype(jnp.int32)
-            cur_cb = xs["cb"].astype(jnp.int32)
-            cur_cr = xs["cr"].astype(jnp.int32)
-            kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
-                      fmt=fmt, cqpo=cqpo, qbias=qbias)
-            out = jax.lax.cond(
-                xs["i"] > 0,
-                lambda: encode_frame_tile_traced(
-                    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp,
-                    is_p=True, ref_mode=ref_mode, **kw
-                ),
-                lambda: encode_frame_tile_traced(
-                    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp,
-                    is_p=False, ref_mode=ref_mode, **kw
-                ),
-            )
-            qp_used = qp
-            if rc == "bitrate" and target_bits > 0:
-                t = max(target_bits, 1)
-                delta = jnp.clip(((out["frame_bits"] - t) * 4) // t, -2, 2)
-                qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
-            elif rc == "vbv" and target_bits > 0:
-                # spec.vbv_next on the psum'd frame total, so every tile
-                # shard derives the identical next qp
-                t = max(target_bits, 1)
-                f = jnp.clip(fullness + target_bits - out["frame_bits"],
-                             0, vbv_bits)
-                delta = jnp.clip(((out["frame_bits"] - target_bits) * 4) // t,
-                                 -2, 2)
-                delta = (delta + (f < vbv_bits // 4).astype(jnp.int32)
-                         - (f > (3 * vbv_bits) // 4).astype(jnp.int32))
-                qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
-                fullness = f
-            carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp, fullness)
-            emit = dict(words=out["words"], bits=out["bits"], ovf=out["ovf"],
-                        n_inter=out["n_inter"], qp=qp_used)
-            return carry, emit
-
-        t_frames = y.shape[0]
-        init = (
-            jnp.zeros(y.shape[1:], jnp.int32),
-            jnp.zeros(cb.shape[1:], jnp.int32),
-            jnp.zeros(cr.shape[1:], jnp.int32),
-            jnp.asarray(base_qp, jnp.int32),
-            jnp.asarray(spec.vbv_init(vbv_bits), jnp.int32),
-        )
-        xs = dict(y=y, cb=cb, cr=cr, i=jnp.arange(t_frames, dtype=jnp.int32))
-        _, outs = jax.lax.scan(body, init, xs)
+        outs = tile_gop_scan(y, cb, cr, base_qp, **kw)
         # add the shard axis so out_specs can map it to 'tile'
         return jax.tree.map(lambda a: a[None], outs)
 
@@ -238,6 +287,199 @@ def encode_gop_tiled(
         ),
         check_vma=False,
     )(y_u8, cb_u8, cr_u8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "rc", "block_words", "cap_words",
+                     "target_bits", "ref_mode", "fmt", "cqpo", "qbias",
+                     "vbv_bits"),
+)
+def encode_gop_batch_2d(
+    y_u8, cb_u8, cr_u8, base_qp,
+    *, mesh, rc, block_words, cap_words, target_bits, ref_mode="halo",
+    fmt: int = 1, cqpo: int = 0, qbias: int = 8, vbv_bits: int = 0,
+):
+    """Fused 2-D program (SURVEY.md §3.4; VERDICT r1 missing #2): ONE
+    shard_map shards the GOP batch over 'gop' AND every frame's MB rows
+    over 'tile' simultaneously.
+
+    y_u8: [G, T, H, W] uint8, G divisible by mesh 'gop' size, H/16 by the
+    'tile' size. Each (gop, tile) device runs the tile scan (halo ppermute +
+    psum ride the 'tile' axis only) lax.map'd over its local GOPs; the
+    'gop' axis carries no collectives — GOPs are closed under prediction.
+    Outputs: words [G, ntile, T, cap/ntile], bits/qp/ovf [G, ntile, T]
+    (host: bit_concat over the tile axis restores each frame's payload).
+    """
+    kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
+              target_bits=target_bits, ref_mode=ref_mode, fmt=fmt,
+              cqpo=cqpo, qbias=qbias, vbv_bits=vbv_bits)
+
+    def per_device(y, cb, cr):
+        def one(args):
+            return tile_gop_scan(*args, base_qp, **kw)
+
+        outs = jax.lax.map(one, (y, cb, cr))  # [Gl, T, ...] local
+        # insert the tile shard axis after G so out_specs can map it
+        return jax.tree.map(lambda a: a[:, None], outs)
+
+    spec_in = P("gop", None, "tile", None)
+    return shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(spec_in, spec_in, spec_in),
+        out_specs=dict(
+            words=P("gop", "tile"), bits=P("gop", "tile"),
+            ovf=P("gop", "tile"), n_inter=P("gop", "tile"),
+            qp=P("gop", "tile"),
+        ),
+        check_vma=False,
+    )(y_u8, cb_u8, cr_u8)
+
+
+def encode_frame_tile2d_traced(
+    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
+    *, is_p: bool, rc: str, block_words: int, row_words: int,
+    ar: str = "tr", ac: str = "tc", qbias: int = 8,
+):
+    """Per-shard frame encode on a 2-D (row x column) tile grid.
+
+    cur_/ref_ planes are [h/Sr, w/Sc] shards. The reference halo comes from
+    the 4-neighborhood + corners (exchange_halo_2d); the pack emits per-MB-
+    row strings so the host can restore the frame's MB raster order across
+    column shards. Format v1 only: v2's left-MV/DC prediction would need a
+    boundary-column exchange along 'tc' (1-D row sharding covers v2).
+    """
+    dc, icost = motion.intra_cost_and_dc(cur_y)
+    nby, nbx = icost.shape
+
+    if is_p:
+        ref_y_ext = exchange_halo_2d(ref_y, HALO_Y, ar, ac)
+        ref_cb_ext = exchange_halo_2d(ref_cb, HALO_C, ar, ac)
+        ref_cr_ext = exchange_halo_2d(ref_cr, HALO_C, ar, ac)
+        dy, dx, best_sad = _full_search_haloed(cur_y, ref_y_ext)
+        is_inter = best_sad <= icost
+        m_y = jnp.repeat(jnp.repeat(is_inter, spec.MB, 0), spec.MB, 1)
+        m_c = jnp.repeat(jnp.repeat(is_inter, spec.BLK, 0), spec.BLK, 1)
+        cdy, cdx = dy >> 1, dx >> 1
+        pred_y = jnp.where(m_y, _mc_haloed(ref_y_ext, dy, dx, spec.MB, HALO_Y), 128)
+        pred_cb = jnp.where(m_c, _mc_haloed(ref_cb_ext, cdy, cdx, spec.BLK, HALO_C), 128)
+        pred_cr = jnp.where(m_c, _mc_haloed(ref_cr_ext, cdy, cdx, spec.BLK, HALO_C), 128)
+    else:
+        dy = jnp.zeros((nby, nbx), jnp.int32)
+        dx = jnp.zeros((nby, nbx), jnp.int32)
+        is_inter = jnp.zeros((nby, nbx), jnp.bool_)
+        pred_y = jnp.full_like(cur_y, 128)
+        pred_cb = jnp.full_like(cur_cb, 128)
+        pred_cr = jnp.full_like(cur_cr, 128)
+
+    if rc == "adaptive":
+        qp_mb = motion.adaptive_qp(base_qp, icost)
+    else:
+        qp_mb = jnp.full((nby, nbx), base_qp, jnp.int32)
+
+    (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr = _code_frame(
+        cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb, 0, qbias,
+    )
+    words, row_bits, mb_bits, ovf = entropy.pack_frame_rows(
+        lz_y, lz_cb, lz_cr, qp_mb - base_qp, jnp.asarray(is_p), is_inter,
+        dy, dx, block_words, row_words,
+    )
+    frame_bits = jax.lax.psum(jax.lax.psum(row_bits.sum(), ar), ac)
+    return dict(
+        words=words, row_bits=row_bits, frame_bits=frame_bits, ovf=ovf,
+        n_inter=is_inter.sum().astype(jnp.int32),
+        rec_y=rec_y, rec_cb=rec_cb, rec_cr=rec_cr,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "rc", "block_words", "row_words",
+                     "target_bits", "qbias", "vbv_bits"),
+)
+def encode_gop_tiled2d(
+    y_u8, cb_u8, cr_u8, base_qp,
+    *, mesh, rc, block_words, row_words, target_bits,
+    qbias: int = 8, vbv_bits: int = 0,
+):
+    """GOP encode with frames sharded over a 2-D ('tr', 'tc') tile mesh —
+    MB rows over 'tr' AND MB columns over 'tc', corner-correct halo
+    (SURVEY.md §2.1 TP row; VERDICT r1 missing #4 / next-step #6).
+
+    y_u8: [T, H, W] uint8; H/16 divisible by Sr, W/16 by Sc. rc="mb" is
+    rejected by the caller (its pace prefix spans column shards). Outputs
+    per shard, per frame, per local MB row: words [Sr, Sc, T, nby_s, roww],
+    row_bits [Sr, Sc, T, nby_s].
+    """
+    if rc == "mb":
+        raise ValueError(
+            "rc='mb' needs a row-spanning prefix; use 1-D row tiles"
+        )
+
+    def per_shard(y, cb, cr):
+        def body(carry, xs):
+            ref_y, ref_cb, ref_cr, qp, fullness = carry
+            cur_y = xs["y"].astype(jnp.int32)
+            cur_cb = xs["cb"].astype(jnp.int32)
+            cur_cr = xs["cr"].astype(jnp.int32)
+            kw = dict(rc=rc, block_words=block_words, row_words=row_words,
+                      qbias=qbias)
+            out = jax.lax.cond(
+                xs["i"] > 0,
+                lambda: encode_frame_tile2d_traced(
+                    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp,
+                    is_p=True, **kw),
+                lambda: encode_frame_tile2d_traced(
+                    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp,
+                    is_p=False, **kw),
+            )
+            qp_used = qp
+            qp, fullness = rc_carry_step(
+                rc, target_bits, vbv_bits, qp, fullness, out["frame_bits"]
+            )
+            carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp, fullness)
+            emit = dict(words=out["words"], row_bits=out["row_bits"],
+                        ovf=out["ovf"], qp=qp_used)
+            return carry, emit
+
+        t_frames = y.shape[0]
+        init = (
+            jnp.zeros(y.shape[1:], jnp.int32),
+            jnp.zeros(cb.shape[1:], jnp.int32),
+            jnp.zeros(cr.shape[1:], jnp.int32),
+            jnp.asarray(base_qp, jnp.int32),
+            jnp.asarray(spec.vbv_init(vbv_bits), jnp.int32),
+        )
+        xs = dict(y=y, cb=cb, cr=cr, i=jnp.arange(t_frames, dtype=jnp.int32))
+        _, outs = jax.lax.scan(body, init, xs)
+        # add the two shard axes so out_specs can map them
+        return jax.tree.map(lambda a: a[None, None], outs)
+
+    sharded = P(None, "tr", "tc")
+    return shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(sharded, sharded, sharded),
+        out_specs=dict(
+            words=P("tr", "tc"), row_bits=P("tr", "tc"),
+            ovf=P("tr", "tc"), qp=P("tr", "tc"),
+        ),
+        check_vma=False,
+    )(y_u8, cb_u8, cr_u8)
+
+
+def assemble_frame_2d(words, row_bits, t: int) -> tuple[bytes, int]:
+    """Host glue for encode_gop_tiled2d outputs: frame t's payload =
+    rows in global order, each row = its column shards' strings in order."""
+    sr, sc = words.shape[0], words.shape[1]
+    nby_s = words.shape[3]
+    chunks = []
+    for r in range(sr):
+        for row in range(nby_s):
+            for c in range(sc):
+                chunks.append((words[r, c, t, row], int(row_bits[r, c, t, row])))
+    return bit_concat(chunks)
 
 
 def bit_concat(payloads: list[tuple[np.ndarray, int]]) -> tuple[bytes, int]:
