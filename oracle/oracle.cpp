@@ -10,7 +10,7 @@
 // between this and the device paths localizes bugs immediately.
 //
 //   oracle encode <in.yuv> <out.tvc> <W> <H> <gop> <qp> <full|diamond|hier>
-//                 <none|adaptive|bitrate> <target_kbps> [max_frames]
+//                 <none|adaptive|bitrate|vbv|mb> <target_kbps> [max_frames]
 //   oracle decode <in.tvc> <out.yuv>
 //
 // Exit 0 on success; stats on stderr, one JSON line on stdout.
@@ -257,8 +257,11 @@ struct FrameOut {
 static void encode_frame(const Config& cfg, bool is_p,
                          const Plane& cy, const Plane& ccb, const Plane& ccr,
                          Plane& ry, Plane& rcb, Plane& rcr,  // in: ref, out: recon
-                         int base_qp, FrameOut& out) {
+                         int base_qp, FrameOut& out,
+                         const std::vector<int32_t>* qp_ofs = nullptr,
+                         std::vector<int32_t>* mb_bits_out = nullptr) {
   int nby = cy.h / 16, nbx = cy.w / 16;
+  if (mb_bits_out) mb_bits_out->assign((size_t)nby * nbx, 0);
   std::vector<MB> mbs((size_t)nby * nbx);
   Plane ref_y = ry, ref_cb = rcb, ref_cr = rcr;
   // hier search: 4x-downsampled planes, once per frame (SPEC.md §9)
@@ -274,6 +277,7 @@ static void encode_frame(const Config& cfg, bool is_p,
   BitWriter bw;
   for (int my = 0; my < nby; my++)
     for (int mx = 0; mx < nbx; mx++) {
+      uint64_t mb_start_bits = bw.nbits;
       MB& mb = mbs[(size_t)my * nbx + mx];
       // mode decision + ME (SPEC.md §9)
       int64_t sum = 0;
@@ -360,7 +364,11 @@ static void encode_frame(const Config& cfg, bool is_p,
       }
 
       // rate control (SPEC.md §10)
-      if (cfg.rc == 1) {
+      if (qp_ofs) {
+        // rc=mb pass 2 (SPEC.md §10.4): per-MB offsets from pass-1 bits
+        int q = base_qp + (*qp_ofs)[(size_t)my * nbx + mx];
+        mb.qp = q < 1 ? 1 : (q > 63 ? 63 : q);
+      } else if (cfg.rc == 1) {
         int bl = icost > 0 ? bitlen_u((uint64_t)icost) : 0;
         int q = base_qp + (bl - 10);
         mb.qp = q < 1 ? 1 : (q > 63 ? 63 : q);
@@ -467,6 +475,9 @@ static void encode_frame(const Config& cfg, bool is_p,
             prev = k;
           }
       }
+      if (mb_bits_out)
+        (*mb_bits_out)[(size_t)my * nbx + mx] =
+            (int32_t)(bw.nbits - mb_start_bits);
     }
 
   out.bits = bw.nbits;
@@ -806,7 +817,8 @@ int main(int argc, char** argv) {
     }
     std::string rcs = argv[9];
     cfg.rc = rcs == "adaptive" ? 1
-           : (rcs == "bitrate" ? 2 : (rcs == "vbv" ? 3 : 0));
+           : (rcs == "bitrate" ? 2
+              : (rcs == "vbv" ? 3 : (rcs == "mb" ? 4 : 0)));
     int kbps = argc > 10 ? atoi(argv[10]) : 0;
     cfg.target_bits = kbps > 0 ? kbps * 1000 / 30 : 0;
     int max_frames = argc > 11 ? atoi(argv[11]) : INT32_MAX;
@@ -840,10 +852,41 @@ int main(int argc, char** argv) {
       Plane ccr = pad_to(buf.data() + (size_t)cfg.w * cfg.h * 5 / 4, cfg.w / 2, cfg.h / 2, 8);
       if (!is_p) { ry = cy; rcb = ccb; rcr = ccr; for (auto& v : ry.px) v = 0; for (auto& v : rcb.px) v = 0; for (auto& v : rcr.px) v = 0; }
       FrameOut fo;
-      encode_frame(cfg, is_p, cy, ccb, ccr, ry, rcb, rcr, base_qp, fo);
+      if (cfg.rc == 4) {
+        // rc=mb (SPEC.md §10.4): pass 1 probes per-MB bits at the flat
+        // frame qp (recon is scratch), pass 2 encodes with row-local pace
+        // offsets against the ORIGINAL reference planes
+        Plane sy = ry, scb = rcb, scr = rcr;
+        FrameOut probe;
+        std::vector<int32_t> est;
+        encode_frame(cfg, is_p, cy, ccb, ccr, ry, rcb, rcr, base_qp, probe,
+                     nullptr, &est);
+        ry = sy; rcb = scb; rcr = scr;
+        int nby = cy.h / 16, nbx = cy.w / 16;
+        std::vector<int32_t> ofs((size_t)nby * nbx, 0);
+        for (int my = 0; my < nby; my++) {
+          int64_t row_tot = 0;
+          for (int mx = 0; mx < nbx; mx++)
+            row_tot += est[(size_t)my * nbx + mx];
+          if (row_tot < 1) row_tot = 1;
+          int64_t spent = 0;
+          for (int mx = 0; mx < nbx; mx++) {
+            int64_t share = (int64_t)est[(size_t)my * nbx + mx] * 1024 / row_tot;
+            int64_t plan = (int64_t)mx * 1024 / nbx;
+            int64_t d = (spent - plan) >> 7;  // arithmetic shift == floor/128
+            if (d < -2) d = -2; if (d > 2) d = 2;
+            ofs[(size_t)my * nbx + mx] = (int32_t)d;
+            spent += share;
+          }
+        }
+        encode_frame(cfg, is_p, cy, ccb, ccr, ry, rcb, rcr, base_qp, fo, &ofs);
+      } else {
+        encode_frame(cfg, is_p, cy, ccb, ccr, ry, rcb, rcr, base_qp, fo);
+      }
       ftypes.push_back(is_p ? 1 : 0);
       fqps.push_back(base_qp);
-      if (cfg.rc == 2 && cfg.target_bits > 0) {
+      if ((cfg.rc == 2 || cfg.rc == 4) && cfg.target_bits > 0) {
+        // rc=mb frame carry == rc=bitrate (per-MB offsets are intra-frame)
         int64_t t = cfg.target_bits;
         // floor division (Python //), not C truncation: matters when
         // bits < target and the quotient is a small negative
@@ -890,7 +933,9 @@ int main(int argc, char** argv) {
              cfg.w, cfg.h, cfg.gop, cfg.qp,
              cfg.search == 1 ? "diamond" : (cfg.search == 2 ? "hier" : "full"),
              cfg.rc == 1 ? "adaptive"
-               : (cfg.rc == 2 ? "bitrate" : (cfg.rc == 3 ? "vbv" : "none")),
+               : (cfg.rc == 2 ? "bitrate"
+                  : (cfg.rc == 3 ? "vbv"
+                     : (cfg.rc == 4 ? "mb" : "none"))),
              kbps);
     // must mirror EncoderConfig.canonical() exactly (codec/config.py)
     if (cfg.fmt != 1)

@@ -223,7 +223,7 @@ def main(argv=None) -> int:
     e.add_argument("--qp", type=int, default=28)
     e.add_argument("--search", choices=["full", "diamond", "hier"],
                    default="diamond")
-    e.add_argument("--rc", choices=["none", "adaptive", "bitrate", "vbv"],
+    e.add_argument("--rc", choices=["none", "adaptive", "bitrate", "vbv", "mb"],
                    default="none")
     e.add_argument("--kbps", type=int, default=0)
     e.add_argument("--vbv-kbits", type=int, default=0,

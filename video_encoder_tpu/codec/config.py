@@ -19,8 +19,8 @@ class EncoderConfig:
     gop_n: int = 30            # GOP length; 1 = intra-only [B:7,8]
     base_qp: int = 28          # QP in [1, 63]
     search: str = "full"       # "full" (±16) | "diamond" | "hier" [B:8,9; §9]
-    rc: str = "none"           # "none"|"adaptive"|"bitrate"|"vbv" (SPEC.md §10)
-    target_kbps: int = 0       # rc="bitrate"/"vbv" only
+    rc: str = "none"           # "none"|"adaptive"|"bitrate"|"vbv"|"mb" (SPEC.md §10)
+    target_kbps: int = 0       # rc="bitrate"/"vbv"/"mb" only
     vbv_kbits: int = 0         # rc="vbv" buffer size; 0 = 8x per-frame target
     fps_num: int = 30          # timing for bitrate RC budget
     fps_den: int = 1
@@ -45,10 +45,10 @@ class EncoderConfig:
             raise ValueError("base_qp must be in [1, 63]")
         if self.search not in ("full", "diamond", "hier"):
             raise ValueError(f"unknown search mode {self.search!r}")
-        if self.rc not in ("none", "adaptive", "bitrate", "vbv"):
+        if self.rc not in ("none", "adaptive", "bitrate", "vbv", "mb"):
             raise ValueError(f"unknown rc mode {self.rc!r}")
-        if self.rc == "vbv" and self.target_kbps <= 0:
-            raise ValueError("rc='vbv' requires target_kbps > 0")
+        if self.rc in ("vbv", "mb") and self.target_kbps <= 0:
+            raise ValueError(f"rc={self.rc!r} requires target_kbps > 0")
         if not (0 <= self.vbv_kbits <= 1_000_000):
             # device VBV state is int32: cap the buffer well below 2^31 bits
             raise ValueError("vbv_kbits must be in [0, 1_000_000]")
@@ -89,7 +89,7 @@ class EncoderConfig:
         return zlib.crc32(self.canonical().encode()) & 0xFFFFFFFF
 
     def target_bits_per_frame(self) -> int:
-        if self.rc not in ("bitrate", "vbv") or self.target_kbps <= 0:
+        if self.rc not in ("bitrate", "vbv", "mb") or self.target_kbps <= 0:
             return 0
         return (self.target_kbps * 1000 * self.fps_den) // self.fps_num
 

@@ -324,8 +324,11 @@ def encode_frame(
     ref: Frame | None,
     frame_type: int,
     base_qp: int,
+    _qp_mb: np.ndarray | None = None,
 ) -> FrameEncodeResult:
-    """Encode one frame per SPEC.md §§2–10. frame_type: 0=I, 1=P."""
+    """Encode one frame per SPEC.md §§2–10. frame_type: 0=I, 1=P.
+
+    _qp_mb: internal per-MB qp override (the rc=mb pass-1 probe)."""
     nby, nbx = mb_grid(cur)
     dc, icost = intra_cost_and_dc(cur.y)
 
@@ -343,8 +346,18 @@ def encode_frame(
             dy, dx, best_sad = sad_diamond_search(cur.y, ref.y)
         is_inter = best_sad <= icost  # ties → inter (SPEC.md §9)
 
-    if cfg.rc == "adaptive":
+    if _qp_mb is not None:
+        qp_mb = _qp_mb
+    elif cfg.rc == "adaptive":
         qp_mb = spec.adaptive_qp(base_qp, icost)
+    elif cfg.rc == "mb":
+        # per-MB bits feedback (SPEC.md §10.4): pass 1 probes the frame at
+        # the flat frame qp; row-local pace offsets set pass-2 quantizers
+        flat = np.full((nby, nbx), base_qp, dtype=np.int32)
+        est = encode_frame(cfg, cur, ref, frame_type, base_qp, _qp_mb=flat).mb_bits
+        qp_mb = np.clip(
+            base_qp + spec.mb_rc_offsets(est), spec.QP_MIN, spec.QP_MAX
+        ).astype(np.int32)
     else:
         qp_mb = np.full((nby, nbx), base_qp, dtype=np.int32)
 

@@ -229,6 +229,36 @@ def vbv_next(qp: int, fullness: int, bits_spent: int, target_bits: int,
     return max(QP_MIN, min(QP_MAX, qp + delta)), f
 
 
+def mb_rc_offsets(est: np.ndarray) -> np.ndarray:
+    """rc=mb per-MB qp offsets (SPEC.md §10.4) — per-macroblock quantizer
+    rate control with feedback from bits spent (BASELINE.json config 3).
+
+    est[i, j]: pass-1 per-MB bit counts at the frame qp. Feedback is a
+    ROW-LOCAL pace error — how far MB row i has overspent a uniform pace by
+    the time it reaches MB j, in 1/1024ths of the row's own total:
+
+        row_tot[i]   = max(sum_j est[i, j], 1)
+        share[i, j]  = est[i, j] * 1024 // row_tot
+        spent[i, j]  = sum_{k<j} share[i, k]       (exclusive prefix)
+        plan[j]      = j * 1024 // nbx             (uniform pace)
+        delta[i, j]  = clip((spent - plan) >> 7, -2, 2)
+
+    delta hits +-1 at 12.5% of-row overspend, +-2 at 25%. Every quantity
+    fits int32 at any resolution (share, spent, plan <= ~1024+nbx), so the
+    numpy / jnp / C++ implementations are identical integer programs; >> is
+    the arithmetic shift (== floor division by 128 for either sign). Row
+    locality keeps tile (MB-row) sharded encodes byte-identical to
+    single-device. qp_mb = clip(frame_qp + delta, QP_MIN, QP_MAX).
+    """
+    est = np.asarray(est, dtype=np.int64)
+    nbx = est.shape[-1]
+    row_tot = np.maximum(est.sum(axis=-1, keepdims=True), 1)
+    share = est * 1024 // row_tot
+    spent = np.cumsum(share, axis=-1) - share
+    plan = (np.arange(nbx, dtype=np.int64) * 1024) // nbx
+    return np.clip((spent - plan) >> 7, -2, 2).astype(np.int32)
+
+
 # --------------------------------------------------------------------------
 # Geometry helpers
 # --------------------------------------------------------------------------

@@ -75,7 +75,9 @@ def encode_gop(
                 n_inter_mb=res.n_inter,
             )
             stats.append(s)
-        if cfg.rc == "bitrate" and target_bits > 0:
+        if cfg.rc in ("bitrate", "mb") and target_bits > 0:
+            # rc=mb: frame-level carry identical to rc=bitrate; the per-MB
+            # bits-feedback offsets live inside the frame (SPEC.md §10.4)
             base_qp = spec.bitrate_next_qp(base_qp, res.payload_bits, target_bits)
         elif cfg.rc == "vbv" and target_bits > 0:
             base_qp, fullness = spec.vbv_next(

@@ -75,11 +75,24 @@ def _sse(a, b):
     return jnp.sum(d * d)
 
 
+def mb_rc_offsets_jnp(est):
+    """jnp twin of spec.mb_rc_offsets (SPEC.md §10.4) — identical integer
+    program, int32 throughout (share/spent/plan <= ~1024+nbx)."""
+    est = est.astype(jnp.int32)
+    nbx = est.shape[-1]
+    row_tot = jnp.maximum(est.sum(axis=-1, keepdims=True), 1)
+    share = est * 1024 // row_tot
+    spent = jnp.cumsum(share, axis=-1) - share
+    plan = (jnp.arange(nbx, dtype=jnp.int32) * 1024) // nbx
+    return jnp.clip((spent - plan) >> 7, -2, 2)
+
+
 def rc_carry_step(rc: str, target_bits: int, vbv_bits: int, qp, fullness, bits):
     """Frame-level RC carry update (SPEC.md §10), shared by the GOP scan and
     the temporal ring (parallel/ring.py) so sharded streams stay
     byte-identical to single-device encodes under every rc mode."""
-    if rc == "bitrate" and target_bits > 0:
+    if rc in ("bitrate", "mb") and target_bits > 0:
+        # rc=mb frame-level carry == rc=bitrate; per-MB offsets are intra-frame
         t = max(target_bits, 1)
         delta = jnp.clip(((bits - t) * 4) // t, -2, 2)
         qp = jnp.clip(qp + delta, spec.QP_MIN, spec.QP_MAX)
@@ -129,8 +142,27 @@ def encode_frame_traced(
         pred_cb = jnp.full_like(cur_cb, 128)
         pred_cr = jnp.full_like(cur_cr, 128)
 
+    pack = entropy.pack_frame_planes_v2 if fmt >= 2 else entropy.pack_frame_planes
+
     if rc == "adaptive":
         qp_mb = motion.adaptive_qp(base_qp, icost)
+    elif rc == "mb":
+        # per-MB bits feedback (SPEC.md §10.4): pass 1 codes + packs the
+        # frame at the flat qp purely for its per-MB bit counts; row-local
+        # pace offsets then set the pass-2 quantizers. Both passes run on
+        # device inside the same program — no host round-trip.
+        flat = jnp.full((nby, nbx), base_qp, jnp.int32)
+        (p_y, p_cb, p_cr), _, _, _ = _code_frame(
+            cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, flat,
+            cqpo if fmt >= 2 else 0, qbias,
+        )
+        _, _, est, _ = pack(
+            p_y, p_cb, p_cr, flat - base_qp, jnp.asarray(is_p), is_inter,
+            dy, dx, block_words, cap_words,
+        )
+        qp_mb = jnp.clip(
+            base_qp + mb_rc_offsets_jnp(est), spec.QP_MIN, spec.QP_MAX
+        )
     else:
         qp_mb = jnp.full((nby, nbx), base_qp, jnp.int32)
 
@@ -139,7 +171,6 @@ def encode_frame_traced(
         cqpo if fmt >= 2 else 0, qbias,
     )
 
-    pack = entropy.pack_frame_planes_v2 if fmt >= 2 else entropy.pack_frame_planes
     words, total_bits, mb_bits, ovf_p = pack(
         lz_y, lz_cb, lz_cr, qp_mb - base_qp, jnp.asarray(is_p), is_inter,
         dy, dx, block_words, cap_words,
