@@ -98,18 +98,21 @@ def code_plane(cur, pred, q_blk, qbias: int = 8):
 
 def hier_search(cur_y, ref_y):
     """Hierarchical coarse+refine search. The coarse quarter-res sweep is
-    batched jnp (one-hot matmul reductions) either way; on TPU the 2x25
-    refinement candidates evaluate through sad_at_mv (one Pallas pass per
-    candidate — measured faster than the fused per-MB-region refine kernel
-    at 1080p, whose tiny per-MB tensors underuse the 8x128 VPU)."""
+    batched jnp (one-hot matmul reductions) either way; on TPU each refine
+    step's 25 candidate mv fields evaluate in ONE candidate-batched Pallas
+    pass (grid (gy, gx, 25) with the reference window DMA'd once per tile
+    and reused across candidates) — r1's 50 per-candidate dispatches were
+    ~15 ms/frame at 1080p, dominated by launch overhead."""
     from . import motion
 
     if use_pallas():
         from .pallas import sad as psad
 
-        return motion.hier_search(
-            cur_y, ref_y, lambda dy, dx: psad.sad_at_mv(cur_y, ref_y, dy, dx)
-        )
+        def refine(dy, dx):
+            return psad.sad_at_mv(cur_y, ref_y, dy, dx)
+
+        refine.batched = True
+        return motion.hier_search(cur_y, ref_y, refine)
     return motion.hier_search(cur_y, ref_y)
 
 

@@ -218,26 +218,29 @@ def hier_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray, refine_sad_fn=None):
             return sad_at(cur_blocks, refpad, dy, dx)
 
     rr = spec.HIER_REFINE_R
+    nd = 2 * rr + 1
     dy, dx = cdy, cdx
     sad = None
+    batched = getattr(refine_sad_fn, "batched", False)
+    offs = jnp.arange(-rr, rr + 1, dtype=jnp.int32)
     for _ in range(spec.HIER_REFINE_STEPS):
-        cand_costs, cand_dy, cand_dx = [], [], []
-        for u in range(-rr, rr + 1):
-            for v in range(-rr, rr + 1):
-                ndy, ndx = dy + u, dx + v
-                valid = (jnp.abs(ndy) <= R) & (jnp.abs(ndx) <= R)
-                c = jnp.where(
-                    valid,
-                    refine_sad_fn(jnp.clip(ndy, -R, R), jnp.clip(ndx, -R, R)),
-                    BIG,
-                )
-                cand_costs.append(c)
-                cand_dy.append(ndy)
-                cand_dx.append(ndx)
-        cc = jnp.stack(cand_costs)
-        widx = jnp.argmin(cc, axis=0)  # first occurrence == (u, v) row-major
-        dy = jnp.take_along_axis(jnp.stack(cand_dy), widx[None], 0)[0]
-        dx = jnp.take_along_axis(jnp.stack(cand_dx), widx[None], 0)[0]
+        # candidates in row-major (u, v) order: argmin's first-occurrence
+        # tie-break then matches golden.sad_hier_search exactly
+        ndy = dy[None] + jnp.repeat(offs, nd)[:, None, None]
+        ndx = dx[None] + jnp.tile(offs, nd)[:, None, None]
+        valid = (jnp.abs(ndy) <= R) & (jnp.abs(ndx) <= R)
+        cdy_c = jnp.clip(ndy, -R, R)
+        cdx_c = jnp.clip(ndx, -R, R)
+        if batched:
+            cc = refine_sad_fn(cdy_c, cdx_c)  # one pass, [nd*nd, nby, nbx]
+        else:
+            cc = jnp.stack([
+                refine_sad_fn(cdy_c[k], cdx_c[k]) for k in range(nd * nd)
+            ])
+        cc = jnp.where(valid, cc, BIG)
+        widx = jnp.argmin(cc, axis=0)
+        dy = jnp.take_along_axis(ndy, widx[None], 0)[0]
+        dx = jnp.take_along_axis(ndx, widx[None], 0)[0]
         sad = jnp.take_along_axis(cc, widx[None], 0)[0]
     return dy, dx, sad
 
