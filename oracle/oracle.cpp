@@ -45,8 +45,22 @@ static const int ZIGZAG[64] = {
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 };
 
+// SPEC.md §13.2 v3 quant matrix (raster 8x8): scale in 16ths, DC = unity
+static int32_t QMAT8[64];
+static void init_qmat() {
+  for (int i = 0; i < 8; i++)
+    for (int j = 0; j < 8; j++) QMAT8[i * 8 + j] = 16 + 2 * (i + j);
+  QMAT8[0] = 16;
+}
+static inline int32_t qpos_step(int32_t qs, int k, bool qmat) {
+  if (!qmat) return qs;
+  int32_t v = (int32_t)(((int64_t)qs * QMAT8[k] + 8) >> 4);
+  return v < 1 ? 1 : v;
+}
+
 static int32_t QSTEP[64];
 static void init_qstep() {
+  init_qmat();
   for (int qp = 0; qp < 64; qp++) {
     double v = std::pow(2.0, qp / 6.0);
     int32_t s = (int32_t)std::floor(v + 0.5);
@@ -206,9 +220,10 @@ struct Config {
   int rc;  // 0 none, 1 adaptive, 2 bitrate, 3 vbv
   int target_bits;
   int vbv_bits = 0;  // rc=3 buffer size (0 -> 8x per-frame target)
-  int fmt = 1;   // bitstream format (SPEC.md §8 v1 / §12 v2)
+  int fmt = 1;   // bitstream format (SPEC.md §8 v1 / §12 v2 / §13 v3)
   int cqpo = 0;  // v2 chroma QP offset
   int qbias = 8; // AC quantizer rounding bias /16 (8 = midpoint)
+  int qmat = 0;  // v3 quant matrix flag (SPEC.md §13.2)
 };
 
 static Plane down2(const Plane& p) {
@@ -399,7 +414,16 @@ static void encode_frame(const Config& cfg, bool is_p,
         int32_t pred[64], resid[64], coef[64], deq[64], rec[64];
         for (int i = 0; i < 8; i++)
           for (int j = 0; j < 8; j++) {
-            int32_t p = mb.inter ? refp->clamped(oy + cdy + i, ox + cdx + j) : 128;
+            int32_t p;
+            if (mb.inter)
+              p = refp->clamped(oy + cdy + i, ox + cdx + j);
+            else if (cfg.fmt >= 3 && !is_p)
+              // v3 I-frame vertical intra (SPEC.md §13.1): the recon pixel
+              // row directly above this block (raster order guarantees it
+              // is final; 128 above the frame's first row)
+              p = oy > 0 ? rp->at(oy - 1, ox + j) : 128;
+            else
+              p = 128;
             pred[i * 8 + j] = p;
             resid[i * 8 + j] = cp->at(oy + i, ox + j) - p;
           }
@@ -407,9 +431,11 @@ static void encode_frame(const Config& cfg, bool is_p,
         int32_t qb = b < 4 ? qs : qsc;
         int32_t lv[64];
         for (int i = 0; i < 64; i++)
-          lv[i] = quant1(coef[i], qb, i == 0 ? 8 : cfg.qbias);
+          lv[i] = quant1(coef[i], qpos_step(qb, i, cfg.qmat),
+                         i == 0 ? 8 : cfg.qbias);
         for (int k = 0; k < 64; k++) mb.zz[b][k] = lv[ZIGZAG[k]];
-        for (int i = 0; i < 64; i++) deq[i] = lv[i] * qb;
+        for (int i = 0; i < 64; i++)
+          deq[i] = lv[i] * qpos_step(qb, i, cfg.qmat);
         inv_tx(deq, rec);
         for (int i = 0; i < 8; i++)
           for (int j = 0; j < 8; j++) {
@@ -496,7 +522,7 @@ static void encode_frame(const Config& cfg, bool is_p,
 static void decode_frame(int w, int h, bool is_p, int base_qp,
                          const uint8_t* payload, uint64_t nbits,
                          Plane& ry, Plane& rcb, Plane& rcr,
-                         int version = 1, int cqpo = 0) {
+                         int version = 1, int cqpo = 0, bool qmat = false) {
   int wp = (w + 15) / 16 * 16, hp = (h + 15) / 16 * 16;
   int nby = hp / 16, nbx = wp / 16;
   Plane ref_y = ry, ref_cb = rcb, ref_cr = rcr;
@@ -576,11 +602,19 @@ static void decode_frame(int w, int h, bool is_p, int base_qp,
         int32_t lv[64], deq[64], rec[64];
         for (int i = 0; i < 64; i++) lv[i] = 0;
         for (int k = 0; k < 64; k++) lv[ZIGZAG[k]] = zz[k];
-        for (int i = 0; i < 64; i++) deq[i] = lv[i] * qs;
+        for (int i = 0; i < 64; i++)
+          deq[i] = lv[i] * qpos_step(qs, i, qmat);
         inv_tx(deq, rec);
         for (int i = 0; i < 8; i++)
           for (int j = 0; j < 8; j++) {
-            int32_t p = inter ? refp->clamped(oy + cdy + i, ox + cdx + j) : 128;
+            int32_t p;
+            if (inter)
+              p = refp->clamped(oy + cdy + i, ox + cdx + j);
+            else if (version >= 3 && !is_p)
+              // v3 I-frame vertical intra (SPEC.md §13.1)
+              p = oy > 0 ? rp->at(oy - 1, ox + j) : 128;
+            else
+              p = 128;
             int32_t v = p + rec[i * 8 + j];
             rp->at(oy + i, ox + j) = v < 0 ? 0 : (v > 255 ? 255 : v);
           }
@@ -711,14 +745,21 @@ int tvc_parse_gop_planes(const uint8_t* blob, const uint64_t* offsets,
 // Returns 0 on success.
 int tvc_parse_frame(const uint8_t* payload, uint64_t nbits, int is_p,
                     int base_qp, int nby, int nbx, int32_t* levels_zz,
-                    int32_t* mvs, uint8_t* inter, int32_t* qps) {
+                    int32_t* mvs, uint8_t* inter, int32_t* qps,
+                    int version) {
   init_qstep();
   BitReader br(payload, nbits);
+  int prev_dx = 0, prev_dy = 0, prev_inter = 0;  // v2 left-MB mv state
   for (int m = 0; m < nby * nbx; m++) {
+    int mx = m % nbx;
     bool mb_inter = false;
     int dy = 0, dx = 0;
     if (is_p) {
-      if (br.get_ue() == 0) { mb_inter = true; dx = br.get_se(); dy = br.get_se(); }
+      if (br.get_ue() == 0) {
+        mb_inter = true; dx = br.get_se(); dy = br.get_se();
+        if (version >= 2 && mx > 0 && prev_inter) { dx += prev_dx; dy += prev_dy; }
+      }
+      prev_inter = mb_inter; prev_dx = dx; prev_dy = dy;
     }
     int qp = base_qp + br.get_se();
     qps[m] = qp < 1 ? 1 : (qp > 63 ? 63 : qp);  // corrupt-stream clamp
@@ -729,6 +770,27 @@ int tvc_parse_frame(const uint8_t* payload, uint64_t nbits, int is_p,
     int32_t* zz = levels_zz + (size_t)m * 6 * 64;
     memset(zz, 0, 6 * 64 * sizeof(int32_t));
     for (int b = 0; b < 6; b++) {
+      if (version >= 2) {
+        // DC pred = left block's DC level, read back from levels_zz
+        int32_t pdc = 0;
+        if (b < 4) {
+          // left Y block: b&1 == 1 -> block b-1 of this MB; else block
+          // b+1 of the left MB (same block row within the MB)
+          if (b & 1) pdc = zz[(b - 1) * 64];
+          else if (mx > 0) pdc = levels_zz[((size_t)m - 1) * 6 * 64 + (b + 1) * 64];
+        } else if (mx > 0) {
+          pdc = levels_zz[((size_t)m - 1) * 6 * 64 + b * 64];
+        }
+        if (!br.get(1)) continue;
+        zz[b * 64] = pdc + br.get_se();
+        int nnz_ac = br.get_ue(), pos = 0;
+        for (int t = 0; t < nnz_ac; t++) {
+          pos += br.get_ue() + 1;
+          if (pos >= 64) return 1;  // corrupt stream
+          zz[b * 64 + pos] = br.get_se();
+        }
+        continue;
+      }
       if (!br.get(1)) continue;
       int nnz = br.get_ue() + 1, pos = -1;
       for (int t = 0; t < nnz; t++) {
@@ -749,10 +811,11 @@ int tvc_decode_stream(const uint8_t* data, int64_t size, uint8_t* out,
   init_qstep();
   if (size < 24 || memcmp(data, "TVC1", 4)) return -1;
   int version = get_le16(&data[4]);
-  if (version < 1 || version > 2) return -4;
+  if (version < 1 || version > 3) return -4;
   int flags = get_le16(&data[6]);
   int cqpo = (flags >> 8) & 0xFF;
   if (cqpo >= 128) cqpo -= 256;  // signed int8 (SPEC.md §12.1)
+  bool qmat = version >= 3 && (flags & 2);  // SPEC.md §13.2
   int w = get_le16(&data[8]), h = get_le16(&data[10]);
   uint32_t nframes = get_le32(&data[16]);
   int64_t fsz = (int64_t)w * h * 3 / 2;
@@ -772,7 +835,7 @@ int tvc_decode_stream(const uint8_t* data, int64_t size, uint8_t* out,
     size_t nbytes = (((uint64_t)pbits + 31) / 32) * 4;  // 64-bit: no wrap
     if (nbytes > (size_t)size || off + nbytes > (size_t)size) return -3;
     decode_frame(w, h, ftype == 1, base_qp, &data[off], pbits, ry, rcb, rcr,
-                 version, cqpo);
+                 version, cqpo, qmat);
     off += nbytes;
     uint8_t* o = out + fsz * i;
     for (int y = 0; y < h; y++)
@@ -826,6 +889,7 @@ int main(int argc, char** argv) {
     cfg.cqpo = argc > 13 ? atoi(argv[13]) : 0;
     cfg.qbias = argc > 14 ? atoi(argv[14]) : 8;
     int vbv_kbits = argc > 15 ? atoi(argv[15]) : 0;
+    cfg.qmat = argc > 16 ? atoi(argv[16]) : 0;
     cfg.vbv_bits = cfg.rc == 3
         ? (vbv_kbits > 0 ? vbv_kbits * 1000 : 8 * cfg.target_bits) : 0;
 
@@ -921,6 +985,7 @@ int main(int argc, char** argv) {
     hdr.insert(hdr.end(), {'T', 'V', 'C', '1'});
     put_le16(hdr, (uint16_t)cfg.fmt);
     put_le16(hdr, (uint16_t)((cfg.gop == 1 ? 1 : 0) |
+                             ((cfg.fmt >= 3 && cfg.qmat) ? 2 : 0) |
                              ((cfg.fmt >= 2 ? (cfg.cqpo & 0xFF) : 0) << 8)));
     put_le16(hdr, cfg.w); put_le16(hdr, cfg.h);
     put_le16(hdr, cfg.gop);
@@ -943,6 +1008,8 @@ int main(int argc, char** argv) {
                      cfg.fmt, cfg.cqpo);
     if (cfg.qbias != 8)
       cl += snprintf(canon + cl, sizeof canon - cl, ":qb=%d", cfg.qbias);
+    if (cfg.qmat)
+      cl += snprintf(canon + cl, sizeof canon - cl, ":qm=1");
     if (cfg.rc == 3)
       cl += snprintf(canon + cl, sizeof canon - cl, ":vbv=%d", vbv_kbits);
     put_le32(hdr, crc32_simple(canon));
@@ -981,6 +1048,7 @@ int main(int argc, char** argv) {
     int flags = get_le16(&data[6]);
     int cqpo = (flags >> 8) & 0xFF;
     if (cqpo >= 128) cqpo -= 256;
+    bool qmat = version >= 3 && (flags & 2);  // SPEC.md §13.2
     int w = get_le16(&data[8]), h = get_le16(&data[10]);
     uint32_t nframes = get_le32(&data[16]);
     FILE* o = fopen(argv[3], "wb");
@@ -998,7 +1066,7 @@ int main(int argc, char** argv) {
       off += 8;
       size_t nbytes = ((pbits + 31) / 32) * 4;
       decode_frame(w, h, ftype == 1, base_qp, &data[off], pbits, ry, rcb, rcr,
-                 version, cqpo);
+                 version, cqpo, qmat);
       off += nbytes;
       // crop + write
       std::vector<uint8_t> yout((size_t)w * h), cbout((size_t)w * h / 4), crout((size_t)w * h / 4);

@@ -34,6 +34,7 @@ def cmd_encode(a) -> int:
         rc=a.rc, target_kbps=a.kbps, fps_num=fps[0], fps_den=fps[1],
         format_version=a.format, chroma_qp_offset=a.chroma_qp_offset,
         quant_bias=a.quant_bias, vbv_kbits=a.vbv_kbits,
+        quant_matrix=a.quant_matrix,
     )
     n_frames = a.frames
     if n_frames == 0:
@@ -233,8 +234,11 @@ def main(argv=None) -> int:
                         "reads the input twice)")
     e.add_argument("--frames", type=int, default=0, help="0 = all")
     e.add_argument("--engine", choices=["gop", "device", "golden"], default="gop")
-    e.add_argument("--format", type=int, choices=[1, 2], default=1,
-                   help="bitstream format: 1=TVC1, 2=v2 (mv pred, DC DPCM)")
+    e.add_argument("--format", type=int, choices=[1, 2, 3], default=1,
+                   help="bitstream format: 1=TVC1, 2=v2 (mv pred, DC DPCM), "
+                        "3=v3 (I-frame intra pred, quant matrix)")
+    e.add_argument("--quant-matrix", action="store_true",
+                   help="v3: per-frequency quant matrix (SPEC.md 13.2)")
     e.add_argument("--quant-bias", type=int, default=8,
                    help="AC quantizer rounding bias /16; 8=midpoint, "
                         "lower=deadzone (fewer bits, encoder-side only)")

@@ -34,6 +34,11 @@ class StreamInfo:
     version: int = 1
     chroma_qp_offset: int = 0  # v2 (SPEC.md §12.1): flags high byte
 
+    @property
+    def quant_matrix(self) -> bool:
+        # v3 (SPEC.md §13.2): flags bit 1
+        return self.version >= 3 and bool(self.flags & 2)
+
 
 @dataclasses.dataclass
 class FramePacket:
@@ -54,6 +59,8 @@ def write_stream_header(f: BinaryIO, cfg: EncoderConfig, frame_count: int) -> No
     flags = 1 if cfg.intra_only else 0
     if cfg.format_version >= 2:
         flags |= (cfg.chroma_qp_offset & 0xFF) << 8  # SPEC.md §12.1
+    if cfg.format_version >= 3 and cfg.quant_matrix:
+        flags |= 2  # SPEC.md §13.2
     f.write(
         struct.pack(
             STREAM_HEADER_FMT,
@@ -80,7 +87,7 @@ def read_stream_header(f: BinaryIO) -> StreamInfo:
     )
     if magic != MAGIC:
         raise ValueError(f"not a TVC1 stream (magic={magic!r})")
-    if ver not in (1, 2):
+    if ver not in (1, 2, 3):
         raise ValueError(f"unsupported TVC1 version {ver}")
     cqpo = 0
     if ver >= 2:

@@ -24,10 +24,12 @@ class EncoderConfig:
     vbv_kbits: int = 0         # rc="vbv" buffer size; 0 = 8x per-frame target
     fps_num: int = 30          # timing for bitrate RC budget
     fps_den: int = 1
-    # Bitstream format (SPEC.md §8 v1 / §12 v2). v2 adds left-MV
-    # prediction, DC DPCM and the chroma QP offset.
+    # Bitstream format (SPEC.md §8 v1 / §12 v2 / §13 v3). v2 adds left-MV
+    # prediction, DC DPCM and the chroma QP offset; v3 adds I-frame
+    # vertical intra prediction and the optional quant matrix.
     format_version: int = 1
-    chroma_qp_offset: int = 0  # v2 only, [-12, 12]
+    chroma_qp_offset: int = 0  # v2+ only, [-12, 12]
+    quant_matrix: bool = False  # v3 only (SPEC.md §13.2), flagged in-stream
     # Encoder-side AC quantizer rounding bias in 16ths of a step: 8 =
     # midpoint (historical behavior), smaller opens a deadzone that trades
     # a little PSNR for disproportionally fewer AC run/level bits. Decoder
@@ -54,12 +56,14 @@ class EncoderConfig:
             raise ValueError("vbv_kbits must be in [0, 1_000_000]")
         if self.gop_n < 1:
             raise ValueError("gop_n must be >= 1")
-        if self.format_version not in (1, 2):
+        if self.format_version not in (1, 2, 3):
             raise ValueError(f"unknown format version {self.format_version}")
         if not (-12 <= self.chroma_qp_offset <= 12):
             raise ValueError("chroma_qp_offset must be in [-12, 12]")
         if self.format_version == 1 and self.chroma_qp_offset != 0:
-            raise ValueError("chroma_qp_offset requires format_version=2")
+            raise ValueError("chroma_qp_offset requires format_version>=2")
+        if self.quant_matrix and self.format_version < 3:
+            raise ValueError("quant_matrix requires format_version=3")
         if not (1 <= self.quant_bias <= 8):
             raise ValueError("quant_bias must be in [1, 8]")
 
@@ -81,6 +85,8 @@ class EncoderConfig:
             s += f":v={self.format_version}:cqpo={self.chroma_qp_offset}"
         if self.quant_bias != 8:
             s += f":qb={self.quant_bias}"
+        if self.quant_matrix:
+            s += ":qm=1"
         if self.rc == "vbv":
             s += f":vbv={self.vbv_kbits}"
         return s

@@ -289,21 +289,22 @@ def _predict(cur: Frame, ref: Frame | None, is_inter: np.ndarray, dy, dx):
     return pred_y, pred_cb, pred_cr
 
 
-def _q6(qp_mb, chroma_qp_offset=0):
-    """Per-block quantizer steps [nby, nbx, 6, 1, 1]; v2 chroma QP offset
-    (SPEC.md §12.2) applies to blocks 4-5 only."""
+def _q6(qp_mb, chroma_qp_offset=0, quant_matrix=False):
+    """Per-block quantizer steps [nby, nbx, 6, 1, 1] ([..., 8, 8] with the
+    v3 quant matrix); v2 chroma QP offset (SPEC.md §12.2) applies to blocks
+    4-5 only."""
     qp_c = np.clip(qp_mb + chroma_qp_offset, spec.QP_MIN, spec.QP_MAX)
     ql = spec.QSTEP[qp_mb]
     qc = spec.QSTEP[qp_c]
     q6 = np.stack([ql, ql, ql, ql, qc, qc], axis=2)
-    return q6[:, :, :, None, None]
+    return spec.qsteps_pos(q6, quant_matrix)
 
 
 def _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr,
-                 chroma_qp_offset=0) -> Frame:
+                 chroma_qp_offset=0, quant_matrix=False) -> Frame:
     """Shared encoder/decoder reconstruction (C14): bit-exact by construction."""
     nby, nbx = qp_mb.shape
-    q = _q6(qp_mb, chroma_qp_offset)
+    q = _q6(qp_mb, chroma_qp_offset, quant_matrix)
     levels = np.zeros((nby, nbx, 6, 64), dtype=np.int32)
     levels[..., spec.ZIGZAG] = levels_zz
     coefs = spec.dequantize(levels.reshape(nby, nbx, 6, 8, 8), q)
@@ -361,21 +362,39 @@ def encode_frame(
     else:
         qp_mb = np.full((nby, nbx), base_qp, dtype=np.int32)
 
-    pred_y, pred_cb, pred_cr = _predict(cur, ref, is_inter, dy, dx)
-
-    cur_yb = spec.blockify(cur.y, spec.MB)
-    resid_y = spec.blockify(spec.unblockify((cur_yb - pred_y)), spec.BLK)
-    resid_cb = spec.blockify(cur.cb, spec.BLK) - pred_cb
-    resid_cr = spec.blockify(cur.cr, spec.BLK) - pred_cr
-    blocks6 = _assemble_blocks(resid_y, resid_cb, resid_cr)
-
     cqpo = cfg.chroma_qp_offset if cfg.format_version >= 2 else 0
-    q = _q6(qp_mb, cqpo)
-    coefs = spec.forward_transform(blocks6)
-    levels = spec.quantize(coefs, q, cfg.quant_bias)
-    levels_zz = levels.reshape(nby, nbx, 6, 64)[..., spec.ZIGZAG]
+    qmat = cfg.format_version >= 3 and cfg.quant_matrix
 
-    recon = _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr, cqpo)
+    if cfg.format_version >= 3 and frame_type == 0:
+        # v3 I-frame (SPEC.md §13.1): vertical intra prediction per block
+        # row — sequential over the h/8 block rows, vectorized within each
+        qp_c = np.clip(qp_mb + cqpo, spec.QP_MIN, spec.QP_MAX)
+        qs_y = spec.qsteps_pos(
+            np.repeat(np.repeat(spec.QSTEP[qp_mb], 2, 0), 2, 1), qmat
+        )
+        qs_c = spec.qsteps_pos(spec.QSTEP[qp_c], qmat)
+        lv_y, rec_y = spec.intra_rows_code_plane(cur.y, qs_y, cfg.quant_bias)
+        lv_cb, rec_cb = spec.intra_rows_code_plane(cur.cb, qs_c, cfg.quant_bias)
+        lv_cr, rec_cr = spec.intra_rows_code_plane(cur.cr, qs_c, cfg.quant_bias)
+        levels = _assemble_blocks(lv_y, lv_cb, lv_cr)
+        levels_zz = levels.reshape(nby, nbx, 6, 64)[..., spec.ZIGZAG]
+        recon = Frame(rec_y, rec_cb, rec_cr)
+    else:
+        pred_y, pred_cb, pred_cr = _predict(cur, ref, is_inter, dy, dx)
+
+        cur_yb = spec.blockify(cur.y, spec.MB)
+        resid_y = spec.blockify(spec.unblockify((cur_yb - pred_y)), spec.BLK)
+        resid_cb = spec.blockify(cur.cb, spec.BLK) - pred_cb
+        resid_cr = spec.blockify(cur.cr, spec.BLK) - pred_cr
+        blocks6 = _assemble_blocks(resid_y, resid_cb, resid_cr)
+
+        q = _q6(qp_mb, cqpo, qmat)
+        coefs = spec.forward_transform(blocks6)
+        levels = spec.quantize(coefs, q, cfg.quant_bias)
+        levels_zz = levels.reshape(nby, nbx, 6, 64)[..., spec.ZIGZAG]
+
+        recon = _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr,
+                             cqpo, qmat)
 
     # ---- entropy coding (C12): golden sequential bitwriter ----
     fmt = cfg.format_version
@@ -471,11 +490,14 @@ def decode_frame(
     ref: Frame | None,
     version: int = 1,
     chroma_qp_offset: int = 0,
+    quant_matrix: bool = False,
 ) -> Frame:
     """Decode one frame; reconstruction is bit-exact with the encoder's.
 
     version=2 parses the SPEC.md §12 syntax (left-MV prediction, DC DPCM,
-    chroma QP offset); raster order makes every left predictor available."""
+    chroma QP offset); raster order makes every left predictor available.
+    version=3 (SPEC.md §13) shares the v2 syntax; reconstruction adds
+    I-frame vertical intra prediction and the optional quant matrix."""
     wp, hp = spec.ceil_to(width, spec.MB), spec.ceil_to(height, spec.MB)
     nby, nbx = hp // spec.MB, wp // spec.MB
     br = BitReader(payload, payload_bits)
@@ -535,6 +557,23 @@ def decode_frame(
                         pos += br.get_ue() + 1
                         levels_zz[my, mx, b, pos] = br.get_se()
 
+    cqpo = chroma_qp_offset if version >= 2 else 0
+    if version >= 3 and frame_type == 0:
+        # v3 I-frame (SPEC.md §13.1): vertical-intra row recon
+        levels = np.zeros((nby, nbx, 6, 64), dtype=np.int32)
+        levels[..., spec.ZIGZAG] = levels_zz
+        lv_y, lv_cb, lv_cr = _scatter_blocks(levels.reshape(nby, nbx, 6, 8, 8))
+        qp_c = np.clip(qp_mb + cqpo, spec.QP_MIN, spec.QP_MAX)
+        qs_y = spec.qsteps_pos(
+            np.repeat(np.repeat(spec.QSTEP[qp_mb], 2, 0), 2, 1), quant_matrix
+        )
+        qs_c = spec.qsteps_pos(spec.QSTEP[qp_c], quant_matrix)
+        return Frame(
+            spec.intra_rows_recon_plane(lv_y, qs_y),
+            spec.intra_rows_recon_plane(lv_cb, qs_c),
+            spec.intra_rows_recon_plane(lv_cr, qs_c),
+        )
+
     # Dummy current frame (only geometry is used by _predict).
     geom = Frame(
         np.zeros((hp, wp), np.int32),
@@ -542,5 +581,5 @@ def decode_frame(
         np.zeros((hp // 2, wp // 2), np.int32),
     )
     pred_y, pred_cb, pred_cr = _predict(geom, ref, is_inter, dy, dx)
-    cqpo = chroma_qp_offset if version >= 2 else 0
-    return _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr, cqpo)
+    return _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr, cqpo,
+                        quant_matrix)

@@ -40,6 +40,7 @@ def _load():
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
     ]
     lib.tvc_decode_stream.restype = ctypes.c_int
     lib.tvc_decode_stream.argtypes = [
@@ -78,9 +79,12 @@ def available() -> bool:
         return False
 
 
-def parse_frame(payload: bytes, nbits: int, is_p: bool, base_qp: int, nby: int, nbx: int):
+def parse_frame(payload: bytes, nbits: int, is_p: bool, base_qp: int,
+                nby: int, nbx: int, version: int = 1, cqpo: int = 0):
     """Entropy-decode one frame payload → (levels_zz [nby,nbx,6,64],
-    dy, dx, is_inter, qp_mb) numpy arrays."""
+    dy, dx, is_inter, qp_mb) numpy arrays. version>=2 applies the SPEC.md
+    §12 predictors during the parse (cqpo is resolved by the caller's
+    reconstruction, not here)."""
     lib = _load()
     n = nby * nbx
     levels = np.zeros(n * 6 * 64, dtype=np.int32)
@@ -93,6 +97,7 @@ def parse_frame(payload: bytes, nbits: int, is_p: bool, base_qp: int, nby: int, 
         mvs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         inter.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         qps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        version,
     )
     if rc != 0:
         raise ValueError(f"corrupt TVC1 frame payload (code {rc})")

@@ -229,6 +229,81 @@ def vbv_next(qp: int, fullness: int, bits_spent: int, target_bits: int,
     return max(QP_MIN, min(QP_MAX, qp + delta)), f
 
 
+# --------------------------------------------------------------------------
+# Format v3 (SPEC.md §13): quant matrix + I-frame vertical intra prediction
+# --------------------------------------------------------------------------
+
+# §13.2 per-coefficient quantizer scale in 16ths (16 = unity). A gentle CSF
+# ramp: step grows with spatial frequency, up to 2.75x at (7,7); DC stays
+# unity so DPCM'd DC precision is unchanged.
+QMAT = np.array(
+    [[16 + 2 * (i + j) for j in range(8)] for i in range(8)], dtype=np.int64
+)
+QMAT[0, 0] = 16
+
+
+def qsteps_pos(qstep, use_matrix: bool):
+    """Per-position quantizer steps from per-block scalars.
+
+    qstep: int array [...]; returns [..., 8, 8]:
+      q[..., i, j] = max(1, (qstep * QMAT[i, j] + 8) >> 4)   (§13.2)
+    or the flat broadcast [..., 1, 1] when the matrix is off."""
+    qstep = np.asarray(qstep, dtype=np.int64)
+    if not use_matrix:
+        return qstep[..., None, None]
+    return np.maximum(1, (qstep[..., None, None] * QMAT + 8) >> 4)
+
+
+def intra_rows_recon_plane(levels: np.ndarray, qsteps: np.ndarray) -> np.ndarray:
+    """§13.1 decoder-side recon of a v3 I-frame plane.
+
+    levels: [h/8, w/8, 8, 8] quantized levels (raster block layout);
+    qsteps: broadcastable per-block steps ([h/8, w/8, 1, 1] or [..., 8, 8]).
+    Block row j predicts every pixel from the reconstructed pixel row
+    directly above the block (128 above row 0); rows are sequential, all
+    blocks within a row are independent."""
+    nrows, ncols = levels.shape[:2]
+    w = ncols * BLK
+    rec = np.zeros((nrows * BLK, w), dtype=np.int32)
+    prev = np.full((w,), 128, dtype=np.int32)
+    for j in range(nrows):
+        resid = inverse_transform(dequantize(levels[j], qsteps[j]))
+        pred = np.broadcast_to(prev[None, :], (BLK, w))
+        r = np.clip(unblockify(resid[None])[0:BLK] + pred, 0, 255)
+        rec[j * BLK : (j + 1) * BLK] = r
+        prev = r[-1]
+    return rec
+
+
+def intra_rows_code_plane(cur: np.ndarray, qsteps: np.ndarray, qbias: int):
+    """§13.1 encoder-side v3 I-frame plane coding (vertical intra).
+
+    cur: [h, w] int32; qsteps: [h/8, w/8, 1, 1] or [h/8, w/8, 8, 8].
+    Returns (levels [h/8, w/8, 8, 8], recon [h, w]) — recon identical to
+    intra_rows_recon_plane(levels) by construction."""
+    h, w = cur.shape
+    nrows = h // BLK
+    levels = np.zeros((nrows, w // BLK, BLK, BLK), dtype=np.int32)
+    rec = np.zeros((h, w), dtype=np.int32)
+    prev = np.full((w,), 128, dtype=np.int32)
+    for j in range(nrows):
+        pred = np.broadcast_to(prev[None, :], (BLK, w))
+        resid = blockify(cur[j * BLK : (j + 1) * BLK] - pred, BLK)[0]
+        lv = quantize(forward_transform(resid), qsteps[j], qbias)
+        levels[j] = lv
+        r = np.clip(
+            unblockify(inverse_transform(dequantize(lv, qsteps[j]))[None])[
+                0:BLK
+            ]
+            + pred,
+            0,
+            255,
+        )
+        rec[j * BLK : (j + 1) * BLK] = r
+        prev = r[-1]
+    return levels, rec
+
+
 def mb_rc_offsets(est: np.ndarray) -> np.ndarray:
     """rc=mb per-MB qp offsets (SPEC.md §10.4) — per-macroblock quantizer
     rate control with feedback from bits spent (BASELINE.json config 3).

@@ -71,24 +71,25 @@ def mc_fetch_chroma_plane(ref_c, cdy, cdx):
     return unblockify(motion.mc_fetch(refpad, cdy, cdx, 8, 8))
 
 
-def code_plane(cur, pred, q_blk, qbias: int = 8):
+def code_plane(cur, pred, q_blk, qbias: int = 8, qmat: bool = False):
     """Fused transform→quant→zigzag→recon of one plane (C9–C11, C14).
 
     Returns (levels zigzagged [nby, nbx, 64], recon [H, W]). On TPU one
     Pallas kernel keeps every stage in VMEM (measured 0.23 ms vs 1.06 ms
     for the staged jnp path on the Y plane at 1080p); the zigzag itself
-    stays in XLA — it's a pure layout permute that fuses into the pack."""
+    stays in XLA — it's a pure layout permute that fuses into the pack.
+    qmat applies the v3 per-position quant matrix (SPEC.md §13.2)."""
     from . import transform as tx
 
     if use_pallas():
         from .pallas import codec as pcodec
 
-        lv, rec = pcodec.code_plane(cur, pred, q_blk, qbias)
+        lv, rec = pcodec.code_plane(cur, pred, q_blk, qbias, qmat)
         return tx.zigzag(tx.blockify(lv, 8)), rec
     import jax.numpy as jnp
 
     resid = tx.blockify(cur - pred, 8)
-    q = q_blk[:, :, None, None]
+    q = tx.qsteps_pos(q_blk, qmat)
     coefs = tx.forward_transform(resid)
     lz = tx.zigzag(tx.quantize(coefs, q, qbias))
     deq = tx.dequantize(tx.unzigzag(lz), q)

@@ -172,14 +172,18 @@ def _code_plane_call(h: int, w: int, qbias: int):
 
 
 def code_plane(cur: jnp.ndarray, pred: jnp.ndarray, q_blk: jnp.ndarray,
-               qbias: int = 8):
+               qbias: int = 8, qmat: bool = False):
     """Fused transform→quant→recon of one plane.
 
     cur, pred: [H, W] int32 (H, W multiples of 16); q_blk: [H/8, W/8] int32
     per-8x8-block quant steps. Returns (levels [H, W] int32 raster block
     layout, recon [H, W] int32) — bit-exact with the jnp path in
     pipeline/gop_engine._code_plane (levels there are zigzagged; callers
-    apply ops/transform.zigzag to blockified levels).
+    apply ops/transform.zigzag to blockified levels). qmat folds the v3
+    per-position quant matrix (SPEC.md §13.2) into the per-pixel step
+    table — the kernel itself is unchanged (it consumes q at pixel
+    resolution either way; value bounds stay inside the docstring proof:
+    q <= 2.75x the flat step <= ~4k, n <= 16*3925 + 8*4k < 2^20).
     """
     h, w = cur.shape
     th = 64 if h % 64 == 0 else 32
@@ -187,6 +191,9 @@ def code_plane(cur: jnp.ndarray, pred: jnp.ndarray, q_blk: jnp.ndarray,
     hp = -(-h // th) * th
     wp = -(-w // tw) * tw
     q_px = jnp.repeat(jnp.repeat(q_blk, 8, 0), 8, 1)
+    if qmat:
+        m_px = np.tile(np.asarray(spec.QMAT, np.int32), (h // 8, w // 8))
+        q_px = jnp.maximum(1, (q_px * m_px + 8) >> 4)
     if (hp, wp) != (h, w):
         cur = jnp.pad(cur, ((0, hp - h), (0, wp - w)))
         pred = jnp.pad(pred, ((0, hp - h), (0, wp - w)))

@@ -92,3 +92,67 @@ def unzigzag(levels_zz: jnp.ndarray) -> jnp.ndarray:
     """[..., 64] zigzag order -> [..., 8, 8] raster blocks."""
     flat = levels_zz[..., UNZIGZAG]
     return flat.reshape(*levels_zz.shape[:-1], 8, 8)
+
+
+# ---------------------------------------------------------------------------
+# Format v3 (SPEC.md §13): quant matrix + I-frame vertical intra prediction
+# ---------------------------------------------------------------------------
+
+QMAT = np.asarray(spec.QMAT, dtype=np.int32)  # numpy const on purpose (see B)
+
+
+def qsteps_pos(q: jnp.ndarray, use_matrix: bool) -> jnp.ndarray:
+    """jnp twin of spec.qsteps_pos: per-position steps [..., 8, 8] (§13.2),
+    or the flat [..., 1, 1] broadcast when the matrix is off."""
+    if not use_matrix:
+        return q[..., None, None]
+    return jnp.maximum(1, (q[..., None, None] * QMAT + 8) >> 4)
+
+
+def intra_rows_code_plane(cur: jnp.ndarray, qsteps: jnp.ndarray, qbias: int):
+    """jnp twin of spec.intra_rows_code_plane (§13.1): v3 I-frame vertical
+    intra coding of one plane as a lax.scan over its h/8 block rows.
+
+    cur: [h, w] int32; qsteps: [h/8, w/8, 1, 1] or [h/8, w/8, 8, 8].
+    Returns (levels [h/8, w/8, 8, 8], recon [h, w]) — bit-exact with the
+    numpy reference; the sequential row chain is the format's only serial
+    dependency and runs entirely on device.
+    """
+    import jax
+
+    h, w = cur.shape
+    stripes = cur.reshape(h // 8, 8, w)
+
+    def body(prev, args):
+        stripe, qj = args
+        pred = jnp.broadcast_to(prev[None, :], (8, w))
+        resid = blockify(stripe - pred, 8)[0]        # [w/8, 8, 8]
+        lv = quantize(forward_transform(resid), qj, qbias)
+        rec = unblockify(inverse_transform(dequantize(lv, qj))[None]) + pred
+        rec = jnp.clip(rec, 0, 255)
+        return rec[-1], (lv, rec)
+
+    init = jnp.full((w,), 128, jnp.int32)
+    _, (levels, rec) = jax.lax.scan(body, init, (stripes, qsteps))
+    return levels, rec.reshape(h, w)
+
+
+def intra_rows_recon_plane(levels: jnp.ndarray, qsteps: jnp.ndarray):
+    """jnp twin of spec.intra_rows_recon_plane (§13.1 decoder side).
+
+    levels: [h/8, w/8, 8, 8]; returns recon [h, w]."""
+    import jax
+
+    nrows, ncols = levels.shape[:2]
+    w = ncols * 8
+
+    def body(prev, args):
+        lvj, qj = args
+        pred = jnp.broadcast_to(prev[None, :], (8, w))
+        rec = unblockify(inverse_transform(dequantize(lvj, qj))[None]) + pred
+        rec = jnp.clip(rec, 0, 255)
+        return rec[-1], rec
+
+    init = jnp.full((w,), 128, jnp.int32)
+    _, rec = jax.lax.scan(body, init, (levels, qsteps))
+    return rec.reshape(nrows * 8, w)

@@ -265,8 +265,14 @@ def encode_gop_tiled(
     """GOP encode with frames row-sharded over the 'tile' mesh axis.
 
     y_u8: [T, H, W] uint8 (H/16 divisible by tile devices). Output words/
-    bits are per-shard, P('tile') on their leading shard axis.
+    bits are per-shard, P('tile') on their leading shard axis. Formats 1-2
+    only: v3's I-frame vertical intra chain crosses MB-row shard
+    boundaries (SPEC.md §13.1), so tile sharding would need a sequential
+    inter-shard pipeline — use GOP sharding for v3.
     """
+    if fmt >= 3:
+        raise ValueError("tile sharding supports formats 1-2 (v3 I-frame "
+                         "intra rows cross shard boundaries)")
     kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
               target_bits=target_bits, ref_mode=ref_mode, fmt=fmt,
               cqpo=cqpo, qbias=qbias, vbv_bits=vbv_bits)

@@ -21,24 +21,31 @@ from ..codec.golden import Frame, decode_frame
 
 
 class GoldenDecodeEngine:
-    def __init__(self, version: int = 1, chroma_qp_offset: int = 0):
+    def __init__(self, version: int = 1, chroma_qp_offset: int = 0,
+                 quant_matrix: bool = False):
         self.version = version
         self.chroma_qp_offset = chroma_qp_offset
+        self.quant_matrix = quant_matrix
 
     def decode(self, width, height, pkt: bitstream.FramePacket, ref: Frame | None) -> Frame:
         return decode_frame(
             width, height, pkt.frame_type, pkt.base_qp, pkt.payload,
-            pkt.payload_bits, ref, self.version, self.chroma_qp_offset
+            pkt.payload_bits, ref, self.version, self.chroma_qp_offset,
+            self.quant_matrix,
         )
 
 
 class DeviceDecodeEngine:
     """C++ entropy parse on host, reconstruction on device (C14 shared math)."""
 
-    def __init__(self):
+    def __init__(self, version: int = 1, chroma_qp_offset: int = 0,
+                 quant_matrix: bool = False):
         from ..codec import native
 
         self._native = native
+        self.version = version
+        self.chroma_qp_offset = chroma_qp_offset
+        self.quant_matrix = quant_matrix
         import jax
 
         try:
@@ -52,8 +59,12 @@ class DeviceDecodeEngine:
         from .device_engine import scatter_blocks  # noqa: F401
 
     @staticmethod
-    @functools.partial(__import__("jax").jit, static_argnames=("is_p",))
-    def _recon(levels_zz, dy, dx, is_inter, qp_mb, ref_y, ref_cb, ref_cr, *, is_p):
+    @functools.partial(
+        __import__("jax").jit,
+        static_argnames=("is_p", "fmt", "cqpo", "qmat"),
+    )
+    def _recon(levels_zz, dy, dx, is_inter, qp_mb, ref_y, ref_cb, ref_cr,
+               *, is_p, fmt=1, cqpo=0, qmat=False):
         # imports resolved at module scope (importing inside the trace would
         # turn the modules' jnp table constants into leaked tracers)
         import jax.numpy as jnp
@@ -63,6 +74,22 @@ class DeviceDecodeEngine:
         from .device_engine import scatter_blocks
 
         nby, nbx = qp_mb.shape
+        qs = tx.qstep(qp_mb)
+        qc = qs if (fmt < 2 or cqpo == 0) else tx.qstep(
+            jnp.clip(qp_mb + cqpo, spec.QP_MIN, spec.QP_MAX)
+        )
+
+        if not is_p and fmt >= 3:
+            # v3 I-frame: vertical-intra row recon (SPEC.md §13.1)
+            lv6 = tx.unzigzag(levels_zz)  # [nby, nbx, 6, 8, 8]
+            yb, cbb, crb = scatter_blocks(lv6)
+            qs_y = tx.qsteps_pos(jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1), qmat)
+            qs_c = tx.qsteps_pos(qc, qmat)
+            rec_y = tx.intra_rows_recon_plane(yb, qs_y)
+            rec_cb = tx.intra_rows_recon_plane(cbb, qs_c)
+            rec_cr = tx.intra_rows_recon_plane(crb, qs_c)
+            return rec_y, rec_cb, rec_cr
+
         if is_p:
             m_y = jnp.repeat(jnp.repeat(is_inter, spec.MB, 0), spec.MB, 1)
             m_c = jnp.repeat(jnp.repeat(is_inter, spec.BLK, 0), spec.BLK, 1)
@@ -75,7 +102,8 @@ class DeviceDecodeEngine:
             pred_cb = jnp.full_like(ref_cb, 128)
             pred_cr = jnp.full_like(ref_cr, 128)
 
-        q = tx.qstep(qp_mb)[:, :, None, None, None]
+        q6 = jnp.stack([qs, qs, qs, qs, qc, qc], axis=2)  # [nby, nbx, 6]
+        q = tx.qsteps_pos(q6, qmat) if qmat else q6[..., None, None]
         deq = tx.dequantize(tx.unzigzag(levels_zz), q)
         resid = tx.inverse_transform(deq)
         yb, cbb, crb = scatter_blocks(resid)
@@ -91,7 +119,8 @@ class DeviceDecodeEngine:
         nby, nbx = hp // spec.MB, wp // spec.MB
         is_p = pkt.frame_type == 1
         levels, dy, dx, inter, qps = self._native.parse_frame(
-            pkt.payload, pkt.payload_bits, is_p, pkt.base_qp, nby, nbx
+            pkt.payload, pkt.payload_bits, is_p, pkt.base_qp, nby, nbx,
+            version=self.version, cqpo=self.chroma_qp_offset,
         )
         if ref is None:
             ref = Frame(
@@ -103,7 +132,8 @@ class DeviceDecodeEngine:
             jnp.asarray(levels), jnp.asarray(dy), jnp.asarray(dx),
             jnp.asarray(inter), jnp.asarray(qps),
             jnp.asarray(ref.y, jnp.int32), jnp.asarray(ref.cb, jnp.int32),
-            jnp.asarray(ref.cr, jnp.int32), is_p=is_p,
+            jnp.asarray(ref.cr, jnp.int32), is_p=is_p, fmt=self.version,
+            cqpo=self.chroma_qp_offset, qmat=self.quant_matrix,
         )
         return Frame(np.asarray(ry), np.asarray(rcb), np.asarray(rcr))
 
@@ -119,13 +149,14 @@ def _decode_gop_jit():
     from ..ops import dispatch
     from ..ops import transform as tx
 
-    @functools.partial(jax.jit, static_argnames=("cqpo",))
-    def decode_gop(ly, lcb, lcr, dy, dx, inter, qp, cqpo=0):
+    @functools.partial(jax.jit, static_argnames=("cqpo", "fmt", "qmat"))
+    def decode_gop(ly, lcb, lcr, dy, dx, inter, qp, cqpo=0, fmt=1, qmat=False):
         """Reconstruct a [T, ...] GOP on device in one lax.scan program —
         the decode mirror of gop_engine.encode_gop_jit. Frame 0 is the I
         frame (its `inter` mask is all-False, so the MC path is masked off
-        and no real reference is needed); later frames chain through the
-        carried reconstruction, bit-exact with the encoder recon loop.
+        and no real reference is needed — except v3, whose I frame runs the
+        vertical-intra row recon of SPEC.md §13.1); later frames chain
+        through the carried reconstruction, bit-exact with the encoder.
 
         ly: [T, 2nby, 2nbx, 64] int16; lcb/lcr: [T, nby, nbx, 64] int16;
         dy/dx/qp: [T, nby, nbx] int32; inter: [T, nby, nbx] bool.
@@ -135,9 +166,22 @@ def _decode_gop_jit():
         hp, wp = by8 * 8, bx8 * 8
 
         def recon_plane(lz, pred, q_blk):
-            deq = tx.dequantize(tx.unzigzag(lz), q_blk[:, :, None, None])
+            q = tx.qsteps_pos(q_blk, qmat)
+            deq = tx.dequantize(tx.unzigzag(lz), q)
             rec = tx.unblockify(tx.inverse_transform(deq)) + pred
             return jnp.clip(rec, 0, 255)
+
+        def recon_frame_v3_intra(xs, qy, qc):
+            rec_y = tx.intra_rows_recon_plane(
+                tx.unzigzag(xs["ly"].astype(jnp.int32)), tx.qsteps_pos(qy, qmat)
+            )
+            rec_cb = tx.intra_rows_recon_plane(
+                tx.unzigzag(xs["lcb"].astype(jnp.int32)), tx.qsteps_pos(qc, qmat)
+            )
+            rec_cr = tx.intra_rows_recon_plane(
+                tx.unzigzag(xs["lcr"].astype(jnp.int32)), tx.qsteps_pos(qc, qmat)
+            )
+            return rec_y, rec_cb, rec_cr
 
         def body(carry, xs):
             ref_y, ref_cb, ref_cr = carry
@@ -158,9 +202,22 @@ def _decode_gop_jit():
             qc = qs if cqpo == 0 else tx.qstep(
                 jnp.clip(qp_f + cqpo, spec.QP_MIN, spec.QP_MAX)
             )
-            rec_y = recon_plane(xs["ly"].astype(jnp.int32), pred_y, qy)
-            rec_cb = recon_plane(xs["lcb"].astype(jnp.int32), pred_cb, qc)
-            rec_cr = recon_plane(xs["lcr"].astype(jnp.int32), pred_cr, qc)
+            if fmt >= 3:
+                # v3: only frame 0 (the GOP's I frame) takes the intra path;
+                # P frames never do (their intra MBs stay flat-128)
+                rec_y, rec_cb, rec_cr = jax.lax.cond(
+                    xs["i"] > 0,
+                    lambda: (
+                        recon_plane(xs["ly"].astype(jnp.int32), pred_y, qy),
+                        recon_plane(xs["lcb"].astype(jnp.int32), pred_cb, qc),
+                        recon_plane(xs["lcr"].astype(jnp.int32), pred_cr, qc),
+                    ),
+                    lambda: recon_frame_v3_intra(xs, qy, qc),
+                )
+            else:
+                rec_y = recon_plane(xs["ly"].astype(jnp.int32), pred_y, qy)
+                rec_cb = recon_plane(xs["lcb"].astype(jnp.int32), pred_cb, qc)
+                rec_cr = recon_plane(xs["lcr"].astype(jnp.int32), pred_cr, qc)
             out = (
                 rec_y.astype(jnp.uint8),
                 rec_cb.astype(jnp.uint8),
@@ -173,7 +230,8 @@ def _decode_gop_jit():
             jnp.zeros((hp // 2, wp // 2), jnp.int32),
             jnp.zeros((hp // 2, wp // 2), jnp.int32),
         )
-        xs = dict(ly=ly, lcb=lcb, lcr=lcr, dy=dy, dx=dx, inter=inter, qp=qp)
+        xs = dict(ly=ly, lcb=lcb, lcr=lcr, dy=dy, dx=dx, inter=inter, qp=qp,
+                  i=jnp.arange(t_frames, dtype=jnp.int32))
         _, outs = jax.lax.scan(body, init, xs)
         return outs
 
@@ -186,7 +244,8 @@ class GopDecodeEngine:
     program reconstructs the entire GOP on device — no per-frame host
     round-trips (the decode mirror of GopEngine)."""
 
-    def __init__(self, version: int = 1, chroma_qp_offset: int = 0):
+    def __init__(self, version: int = 1, chroma_qp_offset: int = 0,
+                 quant_matrix: bool = False):
         from ..codec import native
 
         self._native = native
@@ -194,6 +253,7 @@ class GopDecodeEngine:
         self._jit = _decode_gop_jit()
         self.version = version
         self.chroma_qp_offset = chroma_qp_offset
+        self.quant_matrix = quant_matrix
 
     def decode_gop(self, width: int, height: int, packets) -> list[Frame]:
         """packets: one GOP (first packet is the I frame)."""
@@ -211,7 +271,8 @@ class GopDecodeEngine:
         ry, rcb, rcr = self._jit(
             jnp.asarray(ly), jnp.asarray(lcb), jnp.asarray(lcr),
             jnp.asarray(dy), jnp.asarray(dx), jnp.asarray(inter),
-            jnp.asarray(qps), cqpo=self.chroma_qp_offset,
+            jnp.asarray(qps), cqpo=self.chroma_qp_offset, fmt=self.version,
+            qmat=self.quant_matrix,
         )
         ry = np.asarray(ry).astype(np.int32)
         rcb = np.asarray(rcb).astype(np.int32)
@@ -225,10 +286,12 @@ def decode_clip_gop(
     """Decode a TVC1 stream GOP-at-a-time on device (GopDecodeEngine)."""
     info, packets = bitstream.demux(f)
     if engine is None:
-        engine = GopDecodeEngine(info.version, info.chroma_qp_offset)
+        engine = GopDecodeEngine(info.version, info.chroma_qp_offset,
+                                 info.quant_matrix)
     else:
         engine.version = info.version
         engine.chroma_qp_offset = info.chroma_qp_offset
+        engine.quant_matrix = info.quant_matrix
 
     def frames():
         gop: list = []
@@ -251,10 +314,12 @@ def decode_clip(
     """Decode a TVC1 stream → (info, iterator of cropped (y, cb, cr))."""
     info, packets = bitstream.demux(f)
     if engine is None:
-        engine = GoldenDecodeEngine(info.version, info.chroma_qp_offset)
+        engine = GoldenDecodeEngine(info.version, info.chroma_qp_offset,
+                                    info.quant_matrix)
     elif getattr(engine, "version", None) is not None:
         engine.version = info.version
         engine.chroma_qp_offset = info.chroma_qp_offset
+        engine.quant_matrix = info.quant_matrix
 
     def frames():
         ref: Frame | None = None

@@ -39,7 +39,7 @@ def _block_words_for_qp(qp: int) -> int:
     return entropy.BLOCK_WORDS_MAX
 
 
-def _code_plane(cur, pred, q_blk, qbias: int = 8):
+def _code_plane(cur, pred, q_blk, qbias: int = 8, qmat: bool = False):
     """Transform→quant→zigzag→recon of one plane (C9–C11, C14).
 
     q_blk: per-8x8-block quantizer steps [H/8, W/8]. Keeping planes separate
@@ -47,26 +47,27 @@ def _code_plane(cur, pred, q_blk, qbias: int = 8):
     scatters at 1080p; the per-MB piece order is restored at the word level
     in entropy.pack_frame_planes. Routed through ops.dispatch: a fused
     Pallas kernel on TPU (ops/pallas/codec.py), staged jnp elsewhere —
-    bit-exact pair.
+    bit-exact pair. qmat applies the v3 per-position quant matrix.
     """
-    return dispatch.code_plane(cur, pred, q_blk, qbias)
+    return dispatch.code_plane(cur, pred, q_blk, qbias, qmat)
 
 
 def _code_frame(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
-                cqpo: int = 0, qbias: int = 8):
+                cqpo: int = 0, qbias: int = 8, qmat: bool = False):
     """Shared transform→quant→zigzag→recon stages, per plane.
 
     cqpo: v2 chroma QP offset (SPEC.md §12.2); 0 reproduces v1 exactly.
     qbias: encoder-side AC quantizer rounding bias (codec/config.py).
+    qmat: v3 per-position quant matrix (SPEC.md §13.2).
     Returns ((lz_y8 [2nby,2nbx,64], lz_cb, lz_cr), rec_y, rec_cb, rec_cr)."""
     qs = tx.qstep(qp_mb)
     qy = jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1)
     qc = qs if cqpo == 0 else tx.qstep(
         jnp.clip(qp_mb + cqpo, spec.QP_MIN, spec.QP_MAX)
     )
-    lz_y, rec_y = _code_plane(cur_y, pred_y, qy, qbias)
-    lz_cb, rec_cb = _code_plane(cur_cb, pred_cb, qc, qbias)
-    lz_cr, rec_cr = _code_plane(cur_cr, pred_cr, qc, qbias)
+    lz_y, rec_y = _code_plane(cur_y, pred_y, qy, qbias, qmat)
+    lz_cb, rec_cb = _code_plane(cur_cb, pred_cb, qc, qbias, qmat)
+    lz_cr, rec_cr = _code_plane(cur_cr, pred_cr, qc, qbias, qmat)
     return (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr
 
 
@@ -111,12 +112,14 @@ def rc_carry_step(rc: str, target_bits: int, vbv_bits: int, qp, fullness, bits):
 def encode_frame_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
     *, is_p: bool, search: str, rc: str, block_words: int, cap_words: int,
-    fmt: int = 1, cqpo: int = 0, qbias: int = 8,
+    fmt: int = 1, cqpo: int = 0, qbias: int = 8, qmat: bool = False,
 ):
-    """One frame, traceable; is_p/search/rc/fmt/cqpo/qbias are static.
+    """One frame, traceable; is_p/search/rc/fmt/cqpo/qbias/qmat are static.
 
     fmt=2 selects the SPEC.md §12 syntax (left-MV prediction, DC DPCM,
-    chroma QP offset); the search/recon math is format-independent."""
+    chroma QP offset); fmt=3 adds I-frame vertical intra prediction (a
+    lax.scan over block rows — SPEC.md §13.1) and the optional quant
+    matrix; the search/recon math is otherwise format-independent."""
     dc, icost = motion.intra_cost_and_dc(cur_y)
     nby, nbx = icost.shape
 
@@ -144,6 +147,30 @@ def encode_frame_traced(
 
     pack = entropy.pack_frame_planes_v2 if fmt >= 2 else entropy.pack_frame_planes
 
+    def code(qps):
+        """Levels + recon at the given per-MB qps: the normal predicted
+        path, or the v3 I-frame vertical-intra row scan (SPEC.md §13.1)."""
+        if fmt >= 3 and not is_p:
+            qs = tx.qstep(qps)
+            qs_y = tx.qsteps_pos(jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1), qmat)
+            qs_c = tx.qsteps_pos(
+                qs if cqpo == 0 else tx.qstep(
+                    jnp.clip(qps + cqpo, spec.QP_MIN, spec.QP_MAX)
+                ),
+                qmat,
+            )
+            lv_y, rec_y = tx.intra_rows_code_plane(cur_y, qs_y, qbias)
+            lv_cb, rec_cb = tx.intra_rows_code_plane(cur_cb, qs_c, qbias)
+            lv_cr, rec_cr = tx.intra_rows_code_plane(cur_cr, qs_c, qbias)
+            return (
+                (tx.zigzag(lv_y), tx.zigzag(lv_cb), tx.zigzag(lv_cr)),
+                rec_y, rec_cb, rec_cr,
+            )
+        return _code_frame(
+            cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qps,
+            cqpo if fmt >= 2 else 0, qbias, qmat,
+        )
+
     if rc == "adaptive":
         qp_mb = motion.adaptive_qp(base_qp, icost)
     elif rc == "mb":
@@ -152,10 +179,7 @@ def encode_frame_traced(
         # pace offsets then set the pass-2 quantizers. Both passes run on
         # device inside the same program — no host round-trip.
         flat = jnp.full((nby, nbx), base_qp, jnp.int32)
-        (p_y, p_cb, p_cr), _, _, _ = _code_frame(
-            cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, flat,
-            cqpo if fmt >= 2 else 0, qbias,
-        )
+        (p_y, p_cb, p_cr), _, _, _ = code(flat)
         _, _, est, _ = pack(
             p_y, p_cb, p_cr, flat - base_qp, jnp.asarray(is_p), is_inter,
             dy, dx, block_words, cap_words,
@@ -166,10 +190,7 @@ def encode_frame_traced(
     else:
         qp_mb = jnp.full((nby, nbx), base_qp, jnp.int32)
 
-    (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr = _code_frame(
-        cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
-        cqpo if fmt >= 2 else 0, qbias,
-    )
+    (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr = code(qp_mb)
 
     words, total_bits, mb_bits, ovf_p = pack(
         lz_y, lz_cb, lz_cr, qp_mb - base_qp, jnp.asarray(is_p), is_inter,
@@ -191,13 +212,13 @@ def encode_frame_traced(
 @functools.partial(
     jax.jit,
     static_argnames=("search", "rc", "block_words", "cap_words", "target_bits",
-                     "fmt", "cqpo", "qbias", "vbv_bits"),
+                     "fmt", "cqpo", "qbias", "vbv_bits", "qmat"),
 )
 def encode_gop_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, search: str, rc: str, block_words: int, cap_words: int,
     target_bits: int, fmt: int = 1, cqpo: int = 0, qbias: int = 8,
-    vbv_bits: int = 0,
+    vbv_bits: int = 0, qmat: bool = False,
 ):
     """Encode a [T, ...] uint8 GOP on device. Returns stacked per-frame
     outputs (words/bits/ovf/qp/n_inter/sse)."""
@@ -211,7 +232,8 @@ def encode_gop_jit(
         idx = xs["i"]
 
         kw = dict(search=search, rc=rc, block_words=block_words,
-                  cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias)
+                  cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias,
+                  qmat=qmat)
         out = jax.lax.cond(
             idx > 0,
             lambda: encode_frame_traced(
@@ -280,6 +302,7 @@ class GopEngine:
             cap_words=cap, target_bits=cfg.target_bits_per_frame(),
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
             qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
+            qmat=cfg.quant_matrix,
         )
 
     def encode_gop_start(
