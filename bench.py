@@ -54,8 +54,16 @@ def synth_clip(t, h, w, seed=0):
 
 
 def oracle_baseline_fps(w, h, frames):
-    """Single-core C++ oracle encoder fps at the same resolution, if built."""
-    exe = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle", "oracle")
+    """Single-core C++ oracle encoder fps at the same resolution; builds the
+    binary with make on first use (it is gitignored, so fresh checkouts
+    start without it)."""
+    odir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle")
+    exe = os.path.join(odir, "oracle")
+    if not os.path.exists(exe):
+        try:
+            subprocess.run(["make", "-C", odir], capture_output=True, timeout=120)
+        except (OSError, subprocess.TimeoutExpired):
+            return None
     if not os.path.exists(exe):
         return None
     import tempfile
