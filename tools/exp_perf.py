@@ -1,0 +1,82 @@
+"""Perf experiments on the real chip: candidate tunings of the 1080p
+full-search GOP program, each timed with the steady-state methodology.
+
+Variants (pick with argv, default all):
+- tn64:  full-search ME tile widened to TN=64 MBs (TW=1024 lanes) so the
+  SAD-reduction matmul's N dim covers half the 128-wide MXU instead of a
+  quarter. VMEM check: diff scratch 33*128*1024*bf16 = 8.6 MB + rots 3.2
+  MB + window < 16 MB/core budget.
+- bw16:  per-8x8-block pack budget 24 -> 16 words (512 bits): pack_dense
+  compare-reduce and tree_concat costs scale with block_words; overflow
+  (exactly detected) would fall back to the worst-case rerun in
+  production, so the stream stays bit-exact either way. The variant
+  reports the overflow flag so we know whether 16 is safe at qp 30.
+- tn64_bw16: both.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+H, W, T, REPS = 1080, 1920, 8, 5
+
+
+def main():
+    import jax.numpy as jnp
+
+    from bench import synth_clip
+    from video_encoder_tpu.codec import entropy, spec
+    from video_encoder_tpu.ops.pallas import sad
+    from video_encoder_tpu.pipeline.gop_engine import encode_gop_jit
+
+    hp = spec.ceil_to(H, 16)
+    n_mbs = (hp // 16) * (W // 16)
+    y, cb, cr = synth_clip(T, hp, W)
+    yd, cbd, crd = jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)
+
+    which = sys.argv[1:] or ["base", "tn64", "bw16", "tn64_bw16"]
+    results = {}
+    orig_shape = sad._fs_tile_shape
+
+    def wide_shape(nby, nbx):
+        tm, tn = orig_shape(nby, nbx)
+        return tm, (64 if nbx >= 96 else tn)
+
+    for name in which:
+        sad._fs_tile_shape = wide_shape if "tn64" in name else orig_shape
+        sad._full_search_call.cache_clear()
+        bw = 16 if "bw16" in name else 24
+        kw = dict(search="full", rc="none", block_words=bw,
+                  cap_words=entropy.capacity_words(n_mbs, 1024),
+                  target_bits=0)
+        try:
+            t0 = time.perf_counter()
+            outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
+            ovf = bool(np.asarray(outs["ovf"]).any())
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
+            np.asarray(outs["bits"])
+            fps = T * REPS / (time.perf_counter() - t0)
+            results[name] = dict(fps=round(fps, 2), ovf=ovf,
+                                 compile_s=round(compile_s, 1))
+        except Exception as e:  # compile failure (e.g. VMEM) is a result
+            results[name] = dict(error=str(e)[:300])
+        finally:
+            sad._fs_tile_shape = orig_shape
+        print(json.dumps({"variant": name, **results[name]}), flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "exp_perf_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
