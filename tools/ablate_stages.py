@@ -61,6 +61,7 @@ def main():
 
     real = dict(
         pack=entropy.pack_frame_planes,
+        pack2=entropy.pack_frame_planes_v2,
         full=dispatch.full_search,
         mc_l=dispatch.mc_fetch_luma_plane,
         mc_c=dispatch.mc_fetch_chroma_plane,
@@ -70,6 +71,10 @@ def main():
     )
 
     def stub_pack(lz_y, lz_cb, lz_cr, qpd, is_p, is_inter, dy, dx, bw, cap):
+        # Signature-compatible with BOTH pack_frame_planes and
+        # pack_frame_planes_v2 (same positional arglist); the tool patches
+        # both so the ablation stays honest if fmt is ever changed from its
+        # default of 1 (ADVICE r2: v2/v3 formats select the v2 packer).
         seed = (lz_y[0, 0, 0] ^ lz_cb[0, 0, 0] ^ lz_cr[0, 0, 0]
                 ^ dy[0, 0] ^ dx[0, 0] ^ qpd[0, 0]).astype(jnp.uint32)
         words = jnp.zeros((cap,), jnp.uint32).at[0].set(seed)
@@ -104,7 +109,7 @@ def main():
 
     variants = [
         ("full-program", {}),
-        ("no-entropy-pack", dict(pack=stub_pack)),
+        ("no-entropy-pack", dict(pack=stub_pack, pack2=stub_pack)),
         ("no-me", dict(full=stub_full)),
         ("no-mc", dict(mc_l=stub_mc, mc_c=stub_mc_c)),
         ("no-transform", dict(code=stub_code)),
@@ -112,10 +117,17 @@ def main():
         ("no-sse", dict(sse=stub_sse)),
     ]
 
-    results = {}
+    # Tag the run so a committed artifact can never again be mistaken for a
+    # different platform's numbers (ADVICE r2 medium finding).
+    results = {"_meta": dict(
+        platform=jax.default_backend(),
+        devices=[str(d) for d in jax.devices()],
+        h=H, w=W, t=T, reps=REPS,
+    )}
     base_ms = None
     for name, patches in variants:
         entropy.pack_frame_planes = patches.get("pack", real["pack"])
+        entropy.pack_frame_planes_v2 = patches.get("pack2", real["pack2"])
         dispatch.full_search = patches.get("full", real["full"])
         dispatch.mc_fetch_luma_plane = patches.get("mc_l", real["mc_l"])
         dispatch.mc_fetch_chroma_plane = patches.get("mc_c", real["mc_c"])
@@ -127,6 +139,7 @@ def main():
             ms = timed(jitted, yd, cbd, crd, kw)
         finally:
             entropy.pack_frame_planes = real["pack"]
+            entropy.pack_frame_planes_v2 = real["pack2"]
             dispatch.full_search = real["full"]
             dispatch.mc_fetch_luma_plane = real["mc_l"]
             dispatch.mc_fetch_chroma_plane = real["mc_c"]

@@ -27,6 +27,7 @@ H, W, T, REPS = 1080, 1920, 8, 5
 
 
 def main():
+    import jax
     import jax.numpy as jnp
 
     from bench import synth_clip
@@ -40,28 +41,37 @@ def main():
     yd, cbd, crd = jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)
 
     which = sys.argv[1:] or ["base", "tn64", "bw16", "tn64_bw16"]
-    results = {}
+    results = {"_meta": dict(platform=jax.default_backend(),
+                             h=H, w=W, t=T, reps=REPS)}
     orig_shape = sad._fs_tile_shape
 
     def wide_shape(nby, nbx):
         tm, tn = orig_shape(nby, nbx)
         return tm, (64 if nbx >= 96 else tn)
 
+    static = ("search", "rc", "block_words", "cap_words", "target_bits",
+              "fmt", "cqpo", "qbias", "vbv_bits", "qmat")
+
     for name in which:
         sad._fs_tile_shape = wide_shape if "tn64" in name else orig_shape
         sad._full_search_call.cache_clear()
+        # A fresh jax.jit per variant: encode_gop_jit's own executable
+        # cache is keyed on shapes+statics, identical across variants, so
+        # reusing it would silently time the baseline program under every
+        # patch (ADVICE r2 medium finding).
+        jitted = jax.jit(encode_gop_jit.__wrapped__, static_argnames=static)
         bw = 16 if "bw16" in name else 24
         kw = dict(search="full", rc="none", block_words=bw,
                   cap_words=entropy.capacity_words(n_mbs, 1024),
                   target_bits=0)
         try:
             t0 = time.perf_counter()
-            outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
+            outs = jitted(yd, cbd, crd, 30, **kw)
             ovf = bool(np.asarray(outs["ovf"]).any())
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             for _ in range(REPS):
-                outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
+                outs = jitted(yd, cbd, crd, 30, **kw)
             np.asarray(outs["bits"])
             fps = T * REPS / (time.perf_counter() - t0)
             results[name] = dict(fps=round(fps, 2), ovf=ovf,
@@ -70,6 +80,7 @@ def main():
             results[name] = dict(error=str(e)[:300])
         finally:
             sad._fs_tile_shape = orig_shape
+            sad._full_search_call.cache_clear()
         print(json.dumps({"variant": name, **results[name]}), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

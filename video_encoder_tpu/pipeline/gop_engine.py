@@ -212,16 +212,17 @@ def encode_frame_traced(
 @functools.partial(
     jax.jit,
     static_argnames=("search", "rc", "block_words", "cap_words", "target_bits",
-                     "fmt", "cqpo", "qbias", "vbv_bits", "qmat"),
+                     "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "unroll"),
 )
 def encode_gop_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, search: str, rc: str, block_words: int, cap_words: int,
     target_bits: int, fmt: int = 1, cqpo: int = 0, qbias: int = 8,
-    vbv_bits: int = 0, qmat: bool = False,
+    vbv_bits: int = 0, qmat: bool = False, unroll: int = 1,
 ):
     """Encode a [T, ...] uint8 GOP on device. Returns stacked per-frame
-    outputs (words/bits/ovf/qp/n_inter/sse)."""
+    outputs (words/bits/ovf/qp/n_inter/sse). unroll feeds lax.scan's
+    unroll knob (perf experiment; bit-identical output)."""
     t_frames = y_u8.shape[0]
 
     def body(carry, xs):
@@ -264,7 +265,85 @@ def encode_gop_jit(
     xs = dict(
         y=y_u8, cb=cb_u8, cr=cr_u8, i=jnp.arange(t_frames, dtype=jnp.int32)
     )
-    _, outs = jax.lax.scan(body, init, xs)
+    _, outs = jax.lax.scan(body, init, xs, unroll=unroll)
+    return outs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("search", "rc", "block_words", "cap_words", "target_bits",
+                     "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "unroll"),
+)
+def encode_gop_batch_jit(
+    y_u8, cb_u8, cr_u8, base_qp,
+    *, search: str, rc: str, block_words: int, cap_words: int,
+    target_bits: int, fmt: int = 1, cqpo: int = 0, qbias: int = 8,
+    vbv_bits: int = 0, qmat: bool = False, unroll: int = 1,
+):
+    """Encode G independent GOPs in lockstep on ONE chip: inputs [G, T, ...]
+    uint8, one lax.scan over T whose body is vmapped over the GOP axis.
+
+    Rationale (r2 verdict item 1): the single-GOP scan hits a per-iteration
+    floor that individual stage ablations barely move; vectorizing G GOPs
+    into each iteration amortizes that floor over G frames, so aggregate
+    fps scales toward G× while remaining byte-identical to G separate
+    encodes (GOPs are closed under prediction — SURVEY.md §3.2, [B:10]).
+    This is also the natural production shape for clip encode: a clip IS a
+    batch of GOPs.
+
+    base_qp may be a scalar (broadcast) or a [G] array (per-GOP qp, used by
+    two-pass). Returns outs with [T, G, ...] leading axes.
+    """
+    g, t_frames = y_u8.shape[0], y_u8.shape[1]
+    kw = dict(search=search, rc=rc, block_words=block_words,
+              cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias, qmat=qmat)
+
+    def enc(is_p):
+        def one(cy, ccb, ccr, ry, rcb, rcr, qp):
+            return encode_frame_traced(
+                cy, ccb, ccr, ry, rcb, rcr, qp, is_p=is_p, **kw
+            )
+        return jax.vmap(one)
+
+    def body(carry, xs):
+        ref_y, ref_cb, ref_cr, qp, fullness = carry
+        cur_y = xs["y"].astype(jnp.int32)    # [G, H, W]
+        cur_cb = xs["cb"].astype(jnp.int32)
+        cur_cr = xs["cr"].astype(jnp.int32)
+        idx = xs["i"]                        # scalar: GOPs run in lockstep,
+        # so the I/P branch stays a scan-level cond outside the vmap.
+        out = jax.lax.cond(
+            idx > 0,
+            lambda: enc(True)(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp),
+            lambda: enc(False)(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp),
+        )
+        qp_used = qp
+        # rc_carry_step is elementwise over [G] qp/fullness/bits
+        qp, fullness = rc_carry_step(
+            rc, target_bits, vbv_bits, qp, fullness, out["bits"]
+        )
+        carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp, fullness)
+        emit = dict(
+            words=out["words"], bits=out["bits"], ovf=out["ovf"],
+            n_inter=out["n_inter"], qp=qp_used, sse=out["sse"],
+        )
+        return carry, emit
+
+    qp0 = jnp.broadcast_to(jnp.asarray(base_qp, jnp.int32), (g,))
+    init = (
+        jnp.zeros((g,) + y_u8.shape[2:], jnp.int32),
+        jnp.zeros((g,) + cb_u8.shape[2:], jnp.int32),
+        jnp.zeros((g,) + cr_u8.shape[2:], jnp.int32),
+        qp0,
+        jnp.full((g,), spec.vbv_init(vbv_bits), jnp.int32),
+    )
+    xs = dict(
+        y=jnp.swapaxes(y_u8, 0, 1),   # [T, G, ...]
+        cb=jnp.swapaxes(cb_u8, 0, 1),
+        cr=jnp.swapaxes(cr_u8, 0, 1),
+        i=jnp.arange(t_frames, dtype=jnp.int32),
+    )
+    _, outs = jax.lax.scan(body, init, xs, unroll=unroll)
     return outs
 
 
@@ -389,4 +468,128 @@ class GopEngine:
         """Synchronous upload+encode+download of one GOP."""
         return self.encode_gop_finish(
             self.encode_gop_start(frames, first_index, base_qp)
+        )
+
+    # ---- batched-GOP path: G equal-length GOPs in one device program ----
+
+    def _run_batch(self, y, cb, cr, base_qps, xl: bool):
+        cfg = self.cfg
+        n_mbs = (y.shape[2] // spec.MB) * (y.shape[3] // spec.MB)
+        if xl:
+            bw = entropy.BLOCK_WORDS_MAX
+            cap = entropy.max_words(n_mbs)
+        else:
+            bw = _block_words_for_qp(int(np.min(base_qps)))
+            cap = entropy.capacity_words(n_mbs, 1024)
+        return encode_gop_batch_jit(
+            y, cb, cr, jnp.asarray(base_qps, jnp.int32),
+            search=cfg.search, rc=cfg.rc, block_words=bw,
+            cap_words=cap, target_bits=cfg.target_bits_per_frame(),
+            fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
+            qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
+            qmat=cfg.quant_matrix,
+        )
+
+    def encode_gops_start(
+        self,
+        gops: list[list[Frame]],
+        first_indices: list[int],
+        base_qps: list[int] | None = None,
+    ):
+        """Upload G equal-length GOPs and launch ONE lockstep device program
+        (encode_gop_batch_jit) without blocking. Streams are byte-identical
+        to per-GOP encodes; aggregate throughput amortizes the scan's
+        per-iteration floor over G frames (r2 verdict item 1)."""
+        cfg = self.cfg
+        t = len(gops[0])
+        assert all(len(g) == t for g in gops), "batched GOPs must be equal length"
+        if base_qps is None:
+            base_qps = [cfg.base_qp] * len(gops)
+        t0 = time.perf_counter()
+        y = jnp.asarray(
+            np.stack([np.stack([f.y for f in g]) for g in gops]).astype(np.uint8)
+        )
+        cb = jnp.asarray(
+            np.stack([np.stack([f.cb for f in g]) for g in gops]).astype(np.uint8)
+        )
+        cr = jnp.asarray(
+            np.stack([np.stack([f.cr for f in g]) for g in gops]).astype(np.uint8)
+        )
+        outs = self._run_batch(y, cb, cr, base_qps, xl=False)
+        return dict(
+            gops=gops, first_indices=first_indices, base_qps=base_qps,
+            y=y, cb=cb, cr=cr, outs=outs, t0=t0,
+        )
+
+    def encode_gops_finish(
+        self, handle
+    ) -> list[tuple[list[FramePacket], list[FrameStats]]]:
+        """Per-GOP (packets, stats), in the order given to encode_gops_start."""
+        gops = handle["gops"]
+        first_indices = handle["first_indices"]
+        outs = handle["outs"]
+        if bool(np.asarray(outs["ovf"]).any()):
+            outs = self._run_batch(
+                handle["y"], handle["cb"], handle["cr"], handle["base_qps"],
+                xl=True,
+            )
+
+        bits = np.asarray(outs["bits"])        # [T, G]
+        qps = np.asarray(outs["qp"])
+        n_inter = np.asarray(outs["n_inter"])
+        sse = np.asarray(outs["sse"])          # [T, G, 3]
+
+        maxw = int(bits.max() + 31) // 32 if bits.size else 0
+        bw = min(_bucket(max(maxw, 1)), outs["words"].shape[2])
+        words_u8 = jax.lax.bitcast_convert_type(
+            outs["words"][:, :, :bw], jnp.uint8
+        )
+        words_host = np.ascontiguousarray(np.asarray(words_u8))  # [T, G, bw, 4]
+        ms_total = (time.perf_counter() - handle["t0"]) * 1e3
+        n_frames_total = sum(len(g) for g in gops)
+
+        results = []
+        f0 = gops[0][0]
+        n_mbs = (f0.y.shape[0] // spec.MB) * (f0.y.shape[1] // spec.MB)
+        npix_y, npix_c = f0.y.size, f0.cb.size
+        for gi, (frames, first_index) in enumerate(zip(gops, first_indices)):
+            packets, stats = [], []
+            for t in range(len(frames)):
+                nw = (int(bits[t, gi]) + 31) // 32
+                payload = (
+                    words_host[t, gi, :nw].view(np.uint32).byteswap().tobytes()
+                )
+                ftype = 0 if t == 0 else 1
+                packets.append(
+                    FramePacket(first_index + t, ftype, int(qps[t, gi]),
+                                int(bits[t, gi]), payload)
+                )
+                def _psnr(s, n):
+                    return float(10 * np.log10(255.0**2 * n / s)) if s > 0 else float("inf")
+                stats.append(
+                    FrameStats(
+                        index=first_index + t,
+                        frame_type=ftype,
+                        base_qp=int(qps[t, gi]),
+                        bits=int(bits[t, gi]),
+                        psnr_y=_psnr(sse[t, gi, 0], npix_y),
+                        psnr_cb=_psnr(sse[t, gi, 1], npix_c),
+                        psnr_cr=_psnr(sse[t, gi, 2], npix_c),
+                        ms=ms_total / n_frames_total,
+                        n_intra_mb=n_mbs - int(n_inter[t, gi]) if ftype else n_mbs,
+                        n_inter_mb=int(n_inter[t, gi]) if ftype else 0,
+                    )
+                )
+            results.append((packets, stats))
+        return results
+
+    def encode_gops(
+        self,
+        gops: list[list[Frame]],
+        first_indices: list[int],
+        base_qps: list[int] | None = None,
+    ) -> list[tuple[list[FramePacket], list[FrameStats]]]:
+        """Synchronous batched encode of G equal-length GOPs."""
+        return self.encode_gops_finish(
+            self.encode_gops_start(gops, first_indices, base_qps)
         )
