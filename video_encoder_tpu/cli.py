@@ -19,7 +19,7 @@ import numpy as np
 from .codec.bitstream import read_stream_header
 from .codec.config import EncoderConfig
 from .io import yuv
-from .utils.metrics import RunSummary, psnr
+from .utils.metrics import FrameStats, RunSummary, psnr
 
 
 def _add_dims(p):
@@ -68,6 +68,16 @@ def cmd_encode(a) -> int:
         if cfg.rc == "none":
             cfg = dataclasses.replace(cfg, rc="bitrate")
 
+    if a.devices > 1 or a.tile > 1:
+        if a.engine != "gop" or a.two_pass or a.multiprocess:
+            print("error: --devices/--tile need the gop engine, single pass, "
+                  "no --multiprocess", file=sys.stderr)
+            return 2
+    if a.multiprocess > 1 and (a.two_pass or a.engine != "gop"):
+        print("error: --multiprocess needs the gop engine, single pass",
+              file=sys.stderr)
+        return 2
+
     on_frame = (lambda s: print(s.to_json(), file=sys.stderr)) if a.verbose else None
     t0 = time.perf_counter()
     with open(a.output, "wb") as fo:
@@ -82,8 +92,18 @@ def cmd_encode(a) -> int:
                 cfg, lambda: yuv.open_clip(a.input, a.width, a.height)[3],
                 fo, n_frames, engine=engine, on_frame=on_frame,
             )
+        elif a.multiprocess > 1:
+            summary = _encode_multiprocess(
+                cfg, a.input, a.width, a.height, fo, n_frames, a.multiprocess
+            )
+        elif a.devices > 1 or a.tile > 1:
+            summary = _encode_sharded(
+                cfg, frames, fo, n_frames, a.devices, a.tile, a.verbose
+            )
         elif engine is None:
-            summary = _encode_gop_resident(cfg, frames, fo, n_frames, a.verbose)
+            summary = _encode_gop_resident(
+                cfg, frames, fo, n_frames, a.verbose, a.gop_batch
+            )
         else:
             summary = encode_clip(
                 cfg, frames, fo, n_frames, engine=engine,
@@ -97,8 +117,14 @@ def cmd_encode(a) -> int:
     return 0
 
 
-def _encode_gop_resident(cfg, frames, fo, n_frames, verbose):
-    """Production path: GOP-resident device encode + ordered mux."""
+def _encode_gop_resident(cfg, frames, fo, n_frames, verbose, gop_batch=1):
+    """Production path: GOP-resident device encode + ordered mux.
+
+    gop_batch=G > 1 groups G full GOPs into one lockstep device program
+    (gop_engine.encode_gop_batch_jit) — amortizes the scan's per-iteration
+    cost over G frames; byte-identical to G=1 (tests/test_gop_batch.py).
+    The tail (< G full GOPs, or a short last GOP) goes through the
+    single-GOP program."""
     from .codec.bitstream import OrderedMux
     from .codec.golden import Frame
     from .pipeline.gop_engine import GopEngine
@@ -107,12 +133,13 @@ def _encode_gop_resident(cfg, frames, fo, n_frames, verbose):
     mux = OrderedMux(fo, cfg, n_frames)
     summary = RunSummary()
     gop: list[Frame] = []
+    batch: list[list[Frame]] = []
+    batch_firsts: list[int] = []
     start = 0
     count = 0
-    pending = None  # double-buffer: GOP k computes while k+1 reads/uploads
+    pending = None  # double-buffer: batch k computes while k+1 reads/uploads
 
-    def drain(handle):
-        pk, st = eng.encode_gop_finish(handle)
+    def emit(pk, st):
         for p in pk:
             mux.push(p)
         for s in st:
@@ -120,26 +147,173 @@ def _encode_gop_resident(cfg, frames, fo, n_frames, verbose):
             if verbose:
                 print(s.to_json(), file=sys.stderr)
 
+    def drain(handle):
+        if handle["kind"] == "batch":
+            for pk, st in eng.encode_gops_finish(handle["h"]):
+                emit(pk, st)
+        else:
+            emit(*eng.encode_gop_finish(handle["h"]))
+
+    def launch(handle):
+        nonlocal pending
+        if pending is not None:
+            drain(pending)
+        pending = handle
+
     for planes in frames:
         if count >= n_frames:
             break
         gop.append(Frame.from_planes(*planes))
         count += 1
         if len(gop) == cfg.gop_n:
-            handle = eng.encode_gop_start(gop, start)
-            if pending is not None:
-                drain(pending)
-            pending = handle
+            if gop_batch > 1:
+                batch.append(gop)
+                batch_firsts.append(start)
+                if len(batch) == gop_batch:
+                    launch(dict(kind="batch",
+                                h=eng.encode_gops_start(batch, batch_firsts)))
+                    batch, batch_firsts = [], []
+            else:
+                launch(dict(kind="one", h=eng.encode_gop_start(gop, start)))
             start += len(gop)
             gop = []
+    # tail: leftover full GOPs (batched if >1 of them), then the short GOP
+    if len(batch) > 1:
+        launch(dict(kind="batch", h=eng.encode_gops_start(batch, batch_firsts)))
+    elif batch:
+        launch(dict(kind="one", h=eng.encode_gop_start(batch[0], batch_firsts[0])))
     if gop:
-        handle = eng.encode_gop_start(gop, start)
-        if pending is not None:
-            drain(pending)
-        pending = handle
+        launch(dict(kind="one", h=eng.encode_gop_start(gop, start)))
     if pending is not None:
         drain(pending)
     mux.close()
+    return summary
+
+
+def _encode_sharded(cfg, frames, fo, n_frames, devices, tile, verbose):
+    """Multi-device clip encode from the command line (BASELINE configs
+    4–5): GOPs sharded over the ('gop','tile') mesh via ShardedGopEncoder;
+    byte-identical to the single-device stream (tests/test_cli_parallel.py).
+    Runs on real chips or the fake CPU mesh (TVC_PLATFORM=cpu; the CLI
+    sets xla_force_host_platform_device_count automatically)."""
+    import jax
+
+    from .codec.bitstream import OrderedMux
+    from .codec.golden import Frame
+    from .parallel.gop_parallel import ShardedGopEncoder
+    from .parallel.mesh import make_codec_mesh
+    from .pipeline.gop_engine import GopEngine
+
+    devices = devices or (len(jax.devices()) // tile * tile)
+    if devices % tile:
+        raise ValueError(f"--devices {devices} not divisible by --tile {tile}")
+    n_gop_dev = devices // tile
+    mesh = make_codec_mesh(gop_devices=n_gop_dev, tile_devices=tile)
+    if tile > 1 and cfg.search != "full":
+        raise ValueError("--tile needs --search full (haloed full search)")
+    senc = ShardedGopEncoder(cfg, mesh=mesh)
+    eng = GopEngine(cfg)  # leftover GOPs that don't fill a device batch
+    mux = OrderedMux(fo, cfg, n_frames)
+    summary = RunSummary()
+
+    gop: list[Frame] = []
+    batch: list[list[Frame]] = []
+    firsts: list[int] = []
+    start = 0
+    count = 0
+
+    def flush_batch():
+        nonlocal batch, firsts
+        if not batch:
+            return
+        if len(batch) == n_gop_dev:
+            packets = senc.encode_gop_batch(batch, firsts)
+            for p in packets:
+                mux.push(p)
+                summary.add(FrameStats(index=p.index, frame_type=p.frame_type,
+                                       base_qp=p.base_qp, bits=p.payload_bits))
+        else:  # tail short of a full device batch: single-device, same bytes
+            for g, fi in zip(batch, firsts):
+                pk, st = eng.encode_gop(g, fi)
+                for p in pk:
+                    mux.push(p)
+                for s in st:
+                    summary.add(s)
+        batch, firsts = [], []
+
+    for planes in frames:
+        if count >= n_frames:
+            break
+        gop.append(Frame.from_planes(*planes))
+        count += 1
+        if len(gop) == cfg.gop_n:
+            batch.append(gop)
+            firsts.append(start)
+            start += len(gop)
+            gop = []
+            if len(batch) == n_gop_dev:
+                flush_batch()
+    flush_batch()
+    if gop:
+        pk, st = eng.encode_gop(gop, start)
+        for p in pk:
+            mux.push(p)
+        for s in st:
+            summary.add(s)
+    mux.close()
+    return summary
+
+
+def _encode_multiprocess(cfg, in_path, width, height, fo, n_frames, nproc):
+    """Distributed clip encode from the command line: N localhost worker
+    processes under jax.distributed (gloo) encode strided shares of the
+    clip's full GOPs; the parent muxes their packets in frame order and
+    encodes the tail itself. Byte-identical to single-process
+    (tests/test_cli_parallel.py). On a pod the same worker runs once per
+    host with --coordinator/--process-id instead of being spawned."""
+    from .codec.bitstream import OrderedMux
+    from .codec.golden import Frame
+    from .parallel import multiprocess as mp
+    from .pipeline.gop_engine import GopEngine
+
+    rows, packets = mp.spawn_clip_encode(cfg, in_path, width, height,
+                                         n_frames, nproc)
+    mux = OrderedMux(fo, cfg, n_frames)
+    summary = RunSummary()
+    for p in packets:
+        mux.push(p)
+        summary.add(FrameStats(index=p.index, frame_type=p.frame_type,
+                               base_qp=p.base_qp, bits=p.payload_bits))
+
+    # tail: frames beyond the workers' equal share of full GOPs
+    done = len(packets)
+    if done < n_frames:
+        eng = GopEngine(cfg)
+        _, _, _, frames = yuv.open_clip(in_path, width, height)
+        gop: list[Frame] = []
+        start = done
+        for i, planes in enumerate(frames):
+            if i >= n_frames:
+                break
+            if i < done:
+                continue
+            gop.append(Frame.from_planes(*planes))
+            if len(gop) == cfg.gop_n:
+                pk, st = eng.encode_gop(gop, start)
+                for p in pk:
+                    mux.push(p)
+                for s in st:
+                    summary.add(s)
+                start += len(gop)
+                gop = []
+        if gop:
+            pk, st = eng.encode_gop(gop, start)
+            for p in pk:
+                mux.push(p)
+            for s in st:
+                summary.add(s)
+    mux.close()
+    print(json.dumps({"multiprocess_workers": rows}), file=sys.stderr)
     return summary
 
 
@@ -213,6 +387,24 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", os.environ["TVC_PLATFORM"])
+        if os.environ["TVC_PLATFORM"] == "cpu":
+            # --devices N on the CPU platform: make a fake N-device mesh
+            # (SURVEY.md §4.4) before the backend initializes
+            args_l = list(argv) if argv is not None else sys.argv[1:]
+            for flag in ("--devices", "--tile"):
+                if flag in args_l:
+                    try:
+                        n = int(args_l[args_l.index("--devices") + 1]) if "--devices" in args_l else 0
+                        t = int(args_l[args_l.index("--tile") + 1]) if "--tile" in args_l else 1
+                        need = n if n else t  # --devices is the mesh total
+                    except (ValueError, IndexError):
+                        break
+                    flags = os.environ.get("XLA_FLAGS", "")
+                    if "xla_force_host_platform_device_count" not in flags:
+                        os.environ["XLA_FLAGS"] = (
+                            flags + f" --xla_force_host_platform_device_count={max(need,1)}"
+                        ).strip()
+                    break
     ap = argparse.ArgumentParser(prog="video_encoder_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -244,6 +436,19 @@ def main(argv=None) -> int:
                         "lower=deadzone (fewer bits, encoder-side only)")
     e.add_argument("--chroma-qp-offset", type=int, default=0,
                    help="v2 only: chroma QP offset in [-12, 12]")
+    e.add_argument("--gop-batch", type=int, default=1,
+                   help="encode G full GOPs per device program (lockstep "
+                        "batched scan; amortizes per-frame overhead)")
+    e.add_argument("--devices", type=int, default=0,
+                   help="shard GOPs over N devices of a ('gop','tile') mesh "
+                        "(0 = single-device path); with TVC_PLATFORM=cpu a "
+                        "fake N-device mesh is created automatically")
+    e.add_argument("--tile", type=int, default=1,
+                   help="spatial tile devices per GOP (devices = gop x tile; "
+                        "needs --search full)")
+    e.add_argument("--multiprocess", type=int, default=0,
+                   help="spawn N localhost jax.distributed worker processes "
+                        "(the DCN-shaped path) and mux their packets")
     e.add_argument("-v", "--verbose", action="store_true")
     e.set_defaults(fn=cmd_encode)
 

@@ -153,7 +153,110 @@ def encode_gops_multiprocess(cfg, y: np.ndarray, cb: np.ndarray, cr: np.ndarray)
     return sorted(local), local, dt
 
 
+def _read_clip_gop_batch(path: str, width: int, height: int, n_gops: int,
+                         gop_n: int):
+    """First n_gops full GOPs of a raw clip as uint8 [G,T,...] plane arrays."""
+    from ..io import yuv
+
+    w, h, _, frames = yuv.open_clip(path, width, height)
+    t = gop_n
+    ys = np.empty((n_gops, t, h, w), np.uint8)
+    cbs = np.empty((n_gops, t, h // 2, w // 2), np.uint8)
+    crs = np.empty((n_gops, t, h // 2, w // 2), np.uint8)
+    it = iter(frames)
+    for g in range(n_gops):
+        for k in range(t):
+            y, cb, cr = next(it)
+            ys[g, k], cbs[g, k], crs[g, k] = y, cb, cr
+    return ys, cbs, crs
+
+
+def _clip_worker(a) -> int:
+    """One jax.distributed process of a CLI-driven clip encode: encodes its
+    'gop'-axis shards of the clip's full GOPs, dumps packets for the parent
+    mux. The same worker runs per host on a pod (DCN) — here the processes
+    are localhost CPU + gloo, the identical program (SURVEY.md §2.1)."""
+    import pickle
+
+    init_localhost_cpu(a.process_id, a.num_processes, a.port)
+
+    from ..codec.config import EncoderConfig
+
+    cfg = EncoderConfig(**json.loads(a.cfg))
+    y, cb, cr = _read_clip_gop_batch(a.clip, a.width, a.height, a.gops,
+                                     cfg.gop_n)
+    owned, local, dt = encode_gops_multiprocess(cfg, y, cb, cr)
+    with open(a.dump, "wb") as f:
+        pickle.dump(local, f)
+    print(json.dumps({
+        "process_id": a.process_id, "owned_gops": owned,
+        "encode_s": round(dt, 4),
+        "fps": round(len(owned) * cfg.gop_n / dt, 2) if dt else 0,
+    }), flush=True)
+    return 0
+
+
+def spawn_clip_encode(cfg, in_path: str, width: int, height: int,
+                      n_frames: int, nproc: int, port: int = 12741):
+    """Parent side of the CLI --multiprocess path: spawn nproc localhost
+    workers over the clip's full GOPs (count rounded down to a multiple of
+    nproc — the parent encodes the rest), gather their packet dumps, return
+    (worker_rows, FramePackets sorted by frame index)."""
+    import dataclasses
+    import pickle
+    import tempfile
+
+    from ..codec.bitstream import FramePacket
+
+    n_full = n_frames // cfg.gop_n
+    g_used = n_full - (n_full % nproc)
+    if g_used == 0:
+        return [], []
+    cfg_json = json.dumps(dataclasses.asdict(cfg))
+    rows = []
+    packets: list[FramePacket] = []
+    with tempfile.TemporaryDirectory() as td:
+        dumps = [os.path.join(td, f"w{i}.pkl") for i in range(nproc)]
+        extra = ["--clip", os.path.abspath(in_path), "--cfg", cfg_json,
+                 "--gops", str(g_used), "--width", str(width),
+                 "--height", str(height)]
+        procs = []
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env.pop("JAX_PLATFORMS", None)
+        pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for i in range(nproc):
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "video_encoder_tpu.parallel.multiprocess",
+                 "--process-id", str(i), "--num-processes", str(nproc),
+                 "--port", str(port), "--dump", dumps[i], *extra],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                env=env, text=True, cwd=pkg_root,
+            ))
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            line = [l for l in out.splitlines() if l.startswith("{")]
+            if p.returncode != 0 or not line:
+                raise RuntimeError(
+                    f"worker exited rc={p.returncode}, stdout={out[-400:]!r}"
+                )
+            rows.append(json.loads(line[-1]))
+        for d in dumps:
+            with open(d, "rb") as f:
+                local = pickle.load(f)
+            for gidx, pkts in local.items():
+                for t, (qp, bits, payload) in enumerate(pkts):
+                    packets.append(FramePacket(
+                        gidx * cfg.gop_n + t, 0 if t == 0 else 1,
+                        qp, bits, payload,
+                    ))
+    packets.sort(key=lambda p: p.index)
+    return rows, packets
+
+
 def _worker(a) -> int:
+    if a.clip:
+        return _clip_worker(a)
     init_localhost_cpu(a.process_id, a.num_processes, a.port)
 
     from ..codec.config import EncoderConfig
@@ -242,6 +345,13 @@ def main() -> int:
     ap.add_argument("--qp", type=int, default=28)
     ap.add_argument("--search", default="diamond")
     ap.add_argument("--rc", default="none")
+    ap.add_argument("--clip", default="",
+                    help="encode this raw clip's full GOPs (CLI path) "
+                         "instead of the synthetic verification batch")
+    ap.add_argument("--cfg", default="",
+                    help="EncoderConfig as JSON (clip mode)")
+    ap.add_argument("--dump", default="",
+                    help="pickle path for this worker's packets (clip mode)")
     a = ap.parse_args()
     if a.spawn:
         extra = ["--gops", str(a.gops), "--frames", str(a.frames),
