@@ -224,6 +224,7 @@ struct Config {
   int cqpo = 0;  // v2 chroma QP offset
   int qbias = 8; // AC quantizer rounding bias /16 (8 = midpoint)
   int qmat = 0;  // v3 quant matrix flag (SPEC.md §13.2)
+  int islice = 0;  // v3 intra-slice height in MB rows (SPEC.md §13.3)
 };
 
 static Plane down2(const Plane& p) {
@@ -417,11 +418,16 @@ static void encode_frame(const Config& cfg, bool is_p,
             int32_t p;
             if (mb.inter)
               p = refp->clamped(oy + cdy + i, ox + cdx + j);
-            else if (cfg.fmt >= 3 && !is_p)
+            else if (cfg.fmt >= 3 && !is_p) {
               // v3 I-frame vertical intra (SPEC.md §13.1): the recon pixel
               // row directly above this block (raster order guarantees it
-              // is final; 128 above the frame's first row)
-              p = oy > 0 ? rp->at(oy - 1, ox + j) : 128;
+              // is final; 128 above the frame's first row). §13.3 intra
+              // slices: the predictor also resets at every slice top
+              // (islice MB rows = islice*16 luma / islice*8 chroma px).
+              int spx = cfg.islice * (b < 4 ? 16 : 8);
+              bool top = oy == 0 || (spx && oy % spx == 0);
+              p = top ? 128 : rp->at(oy - 1, ox + j);
+            }
             else
               p = 128;
             pred[i * 8 + j] = p;
@@ -522,7 +528,8 @@ static void encode_frame(const Config& cfg, bool is_p,
 static void decode_frame(int w, int h, bool is_p, int base_qp,
                          const uint8_t* payload, uint64_t nbits,
                          Plane& ry, Plane& rcb, Plane& rcr,
-                         int version = 1, int cqpo = 0, bool qmat = false) {
+                         int version = 1, int cqpo = 0, bool qmat = false,
+                         int islice = 0) {
   int wp = (w + 15) / 16 * 16, hp = (h + 15) / 16 * 16;
   int nby = hp / 16, nbx = wp / 16;
   Plane ref_y = ry, ref_cb = rcb, ref_cr = rcr;
@@ -610,9 +617,13 @@ static void decode_frame(int w, int h, bool is_p, int base_qp,
             int32_t p;
             if (inter)
               p = refp->clamped(oy + cdy + i, ox + cdx + j);
-            else if (version >= 3 && !is_p)
-              // v3 I-frame vertical intra (SPEC.md §13.1)
-              p = oy > 0 ? rp->at(oy - 1, ox + j) : 128;
+            else if (version >= 3 && !is_p) {
+              // v3 I-frame vertical intra (SPEC.md §13.1) with the §13.3
+              // intra-slice reset
+              int spx = islice * (b < 4 ? 16 : 8);
+              bool top = oy == 0 || (spx && oy % spx == 0);
+              p = top ? 128 : rp->at(oy - 1, ox + j);
+            }
             else
               p = 128;
             int32_t v = p + rec[i * 8 + j];
@@ -821,6 +832,12 @@ int tvc_decode_stream(const uint8_t* data, int64_t size, uint8_t* out,
   int64_t fsz = (int64_t)w * h * 3 / 2;
   if (out_cap < fsz * nframes) return -2;
   size_t off = 24;
+  int islice = 0;
+  if (version >= 3) {  // §13.3 header extension word
+    if (size < 28) return -3;
+    islice = (int)(get_le32(&data[24]) & 0xFFFF);
+    off = 28;
+  }
   int wp = (w + 15) / 16 * 16, hp = (h + 15) / 16 * 16;
   Plane ry, rcb, rcr;
   ry.w = wp; ry.h = hp; ry.px.assign((size_t)wp * hp, 0);
@@ -835,7 +852,7 @@ int tvc_decode_stream(const uint8_t* data, int64_t size, uint8_t* out,
     size_t nbytes = (((uint64_t)pbits + 31) / 32) * 4;  // 64-bit: no wrap
     if (nbytes > (size_t)size || off + nbytes > (size_t)size) return -3;
     decode_frame(w, h, ftype == 1, base_qp, &data[off], pbits, ry, rcb, rcr,
-                 version, cqpo, qmat);
+                 version, cqpo, qmat, islice);
     off += nbytes;
     uint8_t* o = out + fsz * i;
     for (int y = 0; y < h; y++)
@@ -890,6 +907,7 @@ int main(int argc, char** argv) {
     cfg.qbias = argc > 14 ? atoi(argv[14]) : 8;
     int vbv_kbits = argc > 15 ? atoi(argv[15]) : 0;
     cfg.qmat = argc > 16 ? atoi(argv[16]) : 0;
+    cfg.islice = argc > 17 ? atoi(argv[17]) : 0;
     cfg.vbv_bits = cfg.rc == 3
         ? (vbv_kbits > 0 ? vbv_kbits * 1000 : 8 * cfg.target_bits) : 0;
 
@@ -1010,9 +1028,13 @@ int main(int argc, char** argv) {
       cl += snprintf(canon + cl, sizeof canon - cl, ":qb=%d", cfg.qbias);
     if (cfg.qmat)
       cl += snprintf(canon + cl, sizeof canon - cl, ":qm=1");
+    if (cfg.islice)
+      cl += snprintf(canon + cl, sizeof canon - cl, ":is=%d", cfg.islice);
     if (cfg.rc == 3)
       cl += snprintf(canon + cl, sizeof canon - cl, ":vbv=%d", vbv_kbits);
     put_le32(hdr, crc32_simple(canon));
+    if (cfg.fmt >= 3)
+      put_le32(hdr, (uint32_t)(cfg.islice & 0xFFFF));  // SPEC.md §13.3
 
     FILE* o = fopen(outp, "wb");
     fwrite(hdr.data(), 1, hdr.size(), o);
@@ -1053,6 +1075,11 @@ int main(int argc, char** argv) {
     uint32_t nframes = get_le32(&data[16]);
     FILE* o = fopen(argv[3], "wb");
     size_t off = 24;
+    int islice = 0;
+    if (version >= 3) {  // §13.3 header extension word
+      islice = (int)(get_le32(&data[24]) & 0xFFFF);
+      off = 28;
+    }
     Plane ry, rcb, rcr;
     int wp = (w + 15) / 16 * 16, hp = (h + 15) / 16 * 16;
     ry.w = wp; ry.h = hp; ry.px.assign((size_t)wp * hp, 0);
@@ -1066,7 +1093,7 @@ int main(int argc, char** argv) {
       off += 8;
       size_t nbytes = ((pbits + 31) / 32) * 4;
       decode_frame(w, h, ftype == 1, base_qp, &data[off], pbits, ry, rcb, rcr,
-                 version, cqpo, qmat);
+                 version, cqpo, qmat, islice);
       off += nbytes;
       // crop + write
       std::vector<uint8_t> yout((size_t)w * h), cbout((size_t)w * h / 4), crout((size_t)w * h / 4);

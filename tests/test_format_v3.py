@@ -185,3 +185,120 @@ def test_v3_decode_psnr_sane(rng):
         mse = (err ** 2).mean()
         psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
         assert psnr > 30, psnr
+
+
+# ---- §13.3 intra slices (v3.1): the tile-sharding enabler ----
+
+def test_intra_slice_reset_changes_prediction(rng):
+    """reset_rows partitions the plane into independent slices: coding the
+    slices separately must equal coding the whole plane with the reset."""
+    h, w = 64, 48
+    cur = rng.integers(0, 256, (h, w)).astype(np.int32)
+    qs = spec.qsteps_pos(np.full((h // 8, w // 8), 20, np.int64), False)
+    lv, rec = spec.intra_rows_code_plane(cur, qs, 8, reset_rows=4)
+    # slice independence: rows [4:8) coded standalone give identical output
+    lv2, rec2 = spec.intra_rows_code_plane(cur[32:], qs[4:], 8)
+    assert np.array_equal(lv[4:], lv2)
+    assert np.array_equal(rec[32:], rec2)
+    # and the recon twin honors the same reset
+    assert np.array_equal(rec, spec.intra_rows_recon_plane(lv, qs, 4))
+
+
+def test_intra_slice_jnp_matches_numpy(rng):
+    import jax.numpy as jnp
+
+    from video_encoder_tpu.ops import transform as tx
+
+    h, w = 64, 48
+    cur = rng.integers(0, 256, (h, w)).astype(np.int32)
+    qs = spec.qsteps_pos(
+        np.asarray(spec.QSTEP)[rng.integers(10, 40, (h // 8, w // 8))], False
+    )
+    lv_np, rec_np = spec.intra_rows_code_plane(cur, qs, 6, reset_rows=2)
+    lv_j, rec_j = tx.intra_rows_code_plane(
+        jnp.asarray(cur), jnp.asarray(qs, jnp.int32), 6, 2
+    )
+    assert np.array_equal(lv_np, np.asarray(lv_j))
+    assert np.array_equal(rec_np, np.asarray(rec_j))
+    rec2 = tx.intra_rows_recon_plane(jnp.asarray(lv_np),
+                                     jnp.asarray(qs, jnp.int32), 2)
+    assert np.array_equal(rec_np, np.asarray(rec2))
+
+
+@pytest.mark.parametrize("islice", [1, 2])
+def test_v3_islice_golden_equals_gop_engine_and_decodes(rng, islice):
+    w, h, n = 96, 64, 4
+    frames = _gradient_clip(rng, w, h, n)
+    cfg = EncoderConfig(width=w, height=h, gop_n=n, base_qp=26,
+                        format_version=3, chroma_qp_offset=2,
+                        intra_slice_mbrows=islice)
+    g = _encode(cfg, frames, GoldenEngine())
+
+    from video_encoder_tpu.codec.bitstream import OrderedMux
+
+    eng = GopEngine(cfg)
+    buf = io.BytesIO()
+    mux = OrderedMux(buf, cfg, n)
+    packets, _ = eng.encode_gop(
+        [golden.Frame.from_planes(*f) for f in frames], 0)
+    for p in packets:
+        mux.push(p)
+    assert buf.getvalue() == g
+
+    # every decoder reconstructs the sliced stream identically
+    _, golden_frames = decode_clip(io.BytesIO(g))
+    want = [tuple(np.asarray(p) for p in f) for f in golden_frames]
+    _, gop_frames = decode_clip_gop(io.BytesIO(g))
+    for a, b in zip(want, gop_frames):
+        for pa, pb in zip(a, b):
+            assert np.array_equal(pa, pb)
+    _, native_frames = decode_clip_native(io.BytesIO(g))
+    for a, b in zip(want, native_frames):
+        for pa, pb in zip(a, b):
+            assert np.array_equal(np.asarray(pa, np.uint8), pb)
+    # recon == source-side recon: decode must equal the encoder's recon
+    from video_encoder_tpu.utils.metrics import psnr
+    assert psnr(want[0][0], frames[0][0]) > 25
+
+
+def test_v3_islice_oracle_equality(rng, tmp_path):
+    if not os.path.exists(ORACLE):
+        r = subprocess.run(["make", "-C", os.path.dirname(ORACLE)],
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("oracle build failed")
+    w, h, n = 96, 64, 4
+    frames = _gradient_clip(rng, w, h, n)
+    path = tmp_path / "in.yuv"
+    with open(path, "wb") as f:
+        for y, cb, cr in frames:
+            f.write(y.tobytes()); f.write(cb.tobytes()); f.write(cr.tobytes())
+    cfg = EncoderConfig(width=w, height=h, gop_n=n, base_qp=26,
+                        format_version=3, chroma_qp_offset=2,
+                        intra_slice_mbrows=2)
+    g = _encode(cfg, frames, GoldenEngine())
+    out = tmp_path / "o.tvc"
+    r = subprocess.run(
+        [ORACLE, "encode", str(path), str(out), str(w), str(h), str(n),
+         "26", "full", "none", "0", str(n), "3", "2", "8", "0", "0", "2"],
+        capture_output=True)
+    assert r.returncode == 0, r.stderr
+    assert out.read_bytes() == g
+    # oracle CLI decode of the sliced stream == golden decode
+    dec = tmp_path / "dec.yuv"
+    r = subprocess.run([ORACLE, "decode", str(out), str(dec)],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    _, golden_frames = decode_clip(io.BytesIO(g))
+    raw = dec.read_bytes()
+    fsz = w * h * 3 // 2
+    for i, f in enumerate(golden_frames):
+        y = np.frombuffer(raw[i*fsz:i*fsz + w*h], np.uint8).reshape(h, w)
+        assert np.array_equal(np.asarray(f.y if hasattr(f, 'y') else f[0],
+                                         np.uint8), y)
+
+
+def test_islice_requires_v3():
+    with pytest.raises(ValueError):
+        EncoderConfig(width=32, height=32, format_version=2,
+                      intra_slice_mbrows=2)

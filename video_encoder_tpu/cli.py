@@ -34,7 +34,7 @@ def cmd_encode(a) -> int:
         rc=a.rc, target_kbps=a.kbps, fps_num=fps[0], fps_den=fps[1],
         format_version=a.format, chroma_qp_offset=a.chroma_qp_offset,
         quant_bias=a.quant_bias, vbv_kbits=a.vbv_kbits,
-        quant_matrix=a.quant_matrix,
+        quant_matrix=a.quant_matrix, intra_slice_mbrows=a.intra_slice,
     )
     n_frames = a.frames
     if n_frames == 0:
@@ -431,6 +431,10 @@ def main(argv=None) -> int:
                         "3=v3 (I-frame intra pred, quant matrix)")
     e.add_argument("--quant-matrix", action="store_true",
                    help="v3: per-frequency quant matrix (SPEC.md 13.2)")
+    e.add_argument("--intra-slice", type=int, default=0,
+                   help="v3: reset the I-frame vertical-intra predictor "
+                        "every N MB rows (SPEC.md 13.3) - slices are "
+                        "independent, enabling --tile with --format 3")
     e.add_argument("--quant-bias", type=int, default=8,
                    help="AC quantizer rounding bias /16; 8=midpoint, "
                         "lower=deadzone (fewer bits, encoder-side only)")

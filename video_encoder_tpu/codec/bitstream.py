@@ -33,6 +33,7 @@ class StreamInfo:
     flags: int = 0
     version: int = 1
     chroma_qp_offset: int = 0  # v2 (SPEC.md §12.1): flags high byte
+    intra_slice_mbrows: int = 0  # v3 (SPEC.md §13.3): header extension word
 
     @property
     def quant_matrix(self) -> bool:
@@ -76,6 +77,11 @@ def write_stream_header(f: BinaryIO, cfg: EncoderConfig, frame_count: int) -> No
             cfg.config_hash(),
         )
     )
+    if cfg.format_version >= 3:
+        # v3 header extension (SPEC.md §13.3): one u32 LE — bits 0-15 =
+        # intra-slice height in MB rows (0 = one slice per frame), bits
+        # 16-31 reserved zero.
+        f.write(struct.pack("<I", cfg.intra_slice_mbrows & 0xFFFF))
 
 
 def read_stream_header(f: BinaryIO) -> StreamInfo:
@@ -94,7 +100,14 @@ def read_stream_header(f: BinaryIO) -> StreamInfo:
         cqpo = (flags >> 8) & 0xFF
         if cqpo >= 128:
             cqpo -= 256  # signed int8 (SPEC.md §12.1)
-    return StreamInfo(w, h, gop, qp, search, nframes, cfghash, flags, ver, cqpo)
+    islice = 0
+    if ver >= 3:
+        ext = f.read(4)  # §13.3 extension word
+        if len(ext) < 4:
+            raise ValueError("truncated v3 header extension")
+        islice = struct.unpack("<I", ext)[0] & 0xFFFF
+    return StreamInfo(w, h, gop, qp, search, nframes, cfghash, flags, ver,
+                      cqpo, islice)
 
 
 class OrderedMux:

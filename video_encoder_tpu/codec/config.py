@@ -30,6 +30,11 @@ class EncoderConfig:
     format_version: int = 1
     chroma_qp_offset: int = 0  # v2+ only, [-12, 12]
     quant_matrix: bool = False  # v3 only (SPEC.md §13.2), flagged in-stream
+    # v3 intra slices (SPEC.md §13.3): the I-frame vertical-intra predictor
+    # resets every N MB rows, making each N-row slice independent — the
+    # H.264-slice move that lets v3 frames tile-shard with zero cross-shard
+    # sequential state. 0 = one slice per frame (classic v3).
+    intra_slice_mbrows: int = 0
     # Encoder-side AC quantizer rounding bias in 16ths of a step: 8 =
     # midpoint (historical behavior), smaller opens a deadzone that trades
     # a little PSNR for disproportionally fewer AC run/level bits. Decoder
@@ -66,6 +71,11 @@ class EncoderConfig:
             raise ValueError("quant_matrix requires format_version=3")
         if not (1 <= self.quant_bias <= 8):
             raise ValueError("quant_bias must be in [1, 8]")
+        if self.intra_slice_mbrows:
+            if self.format_version < 3:
+                raise ValueError("intra_slice_mbrows requires format_version=3")
+            if not (0 < self.intra_slice_mbrows <= 0xFFFF):
+                raise ValueError("intra_slice_mbrows must be in [0, 65535]")
 
     @property
     def intra_only(self) -> bool:
@@ -87,6 +97,8 @@ class EncoderConfig:
             s += f":qb={self.quant_bias}"
         if self.quant_matrix:
             s += ":qm=1"
+        if self.intra_slice_mbrows:
+            s += f":is={self.intra_slice_mbrows}"
         if self.rc == "vbv":
             s += f":vbv={self.vbv_kbits}"
         return s

@@ -373,9 +373,13 @@ def encode_frame(
             np.repeat(np.repeat(spec.QSTEP[qp_mb], 2, 0), 2, 1), qmat
         )
         qs_c = spec.qsteps_pos(spec.QSTEP[qp_c], qmat)
-        lv_y, rec_y = spec.intra_rows_code_plane(cur.y, qs_y, cfg.quant_bias)
-        lv_cb, rec_cb = spec.intra_rows_code_plane(cur.cb, qs_c, cfg.quant_bias)
-        lv_cr, rec_cr = spec.intra_rows_code_plane(cur.cr, qs_c, cfg.quant_bias)
+        isl = cfg.intra_slice_mbrows  # §13.3: 0 = one slice per frame
+        lv_y, rec_y = spec.intra_rows_code_plane(
+            cur.y, qs_y, cfg.quant_bias, 2 * isl)
+        lv_cb, rec_cb = spec.intra_rows_code_plane(
+            cur.cb, qs_c, cfg.quant_bias, isl)
+        lv_cr, rec_cr = spec.intra_rows_code_plane(
+            cur.cr, qs_c, cfg.quant_bias, isl)
         levels = _assemble_blocks(lv_y, lv_cb, lv_cr)
         levels_zz = levels.reshape(nby, nbx, 6, 64)[..., spec.ZIGZAG]
         recon = Frame(rec_y, rec_cb, rec_cr)
@@ -491,6 +495,7 @@ def decode_frame(
     version: int = 1,
     chroma_qp_offset: int = 0,
     quant_matrix: bool = False,
+    intra_slice: int = 0,
 ) -> Frame:
     """Decode one frame; reconstruction is bit-exact with the encoder's.
 
@@ -569,9 +574,9 @@ def decode_frame(
         )
         qs_c = spec.qsteps_pos(spec.QSTEP[qp_c], quant_matrix)
         return Frame(
-            spec.intra_rows_recon_plane(lv_y, qs_y),
-            spec.intra_rows_recon_plane(lv_cb, qs_c),
-            spec.intra_rows_recon_plane(lv_cr, qs_c),
+            spec.intra_rows_recon_plane(lv_y, qs_y, 2 * intra_slice),
+            spec.intra_rows_recon_plane(lv_cb, qs_c, intra_slice),
+            spec.intra_rows_recon_plane(lv_cr, qs_c, intra_slice),
         )
 
     # Dummy current frame (only geometry is used by _predict).

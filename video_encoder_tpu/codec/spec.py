@@ -254,19 +254,28 @@ def qsteps_pos(qstep, use_matrix: bool):
     return np.maximum(1, (qstep[..., None, None] * QMAT + 8) >> 4)
 
 
-def intra_rows_recon_plane(levels: np.ndarray, qsteps: np.ndarray) -> np.ndarray:
+def intra_rows_recon_plane(
+    levels: np.ndarray, qsteps: np.ndarray, reset_rows: int = 0
+) -> np.ndarray:
     """§13.1 decoder-side recon of a v3 I-frame plane.
 
     levels: [h/8, w/8, 8, 8] quantized levels (raster block layout);
     qsteps: broadcastable per-block steps ([h/8, w/8, 1, 1] or [..., 8, 8]).
     Block row j predicts every pixel from the reconstructed pixel row
     directly above the block (128 above row 0); rows are sequential, all
-    blocks within a row are independent."""
+    blocks within a row are independent.
+
+    reset_rows > 0 (§13.3 "intra slices"): the predictor resets to 128 at
+    every block row j with j % reset_rows == 0 — slices of reset_rows block
+    rows are then independent by construction, which is what lets v3 frames
+    tile-shard without any cross-shard sequential chain."""
     nrows, ncols = levels.shape[:2]
     w = ncols * BLK
     rec = np.zeros((nrows * BLK, w), dtype=np.int32)
     prev = np.full((w,), 128, dtype=np.int32)
     for j in range(nrows):
+        if reset_rows and j % reset_rows == 0:
+            prev = np.full((w,), 128, dtype=np.int32)
         resid = inverse_transform(dequantize(levels[j], qsteps[j]))
         pred = np.broadcast_to(prev[None, :], (BLK, w))
         r = np.clip(unblockify(resid[None])[0:BLK] + pred, 0, 255)
@@ -275,18 +284,23 @@ def intra_rows_recon_plane(levels: np.ndarray, qsteps: np.ndarray) -> np.ndarray
     return rec
 
 
-def intra_rows_code_plane(cur: np.ndarray, qsteps: np.ndarray, qbias: int):
+def intra_rows_code_plane(
+    cur: np.ndarray, qsteps: np.ndarray, qbias: int, reset_rows: int = 0
+):
     """§13.1 encoder-side v3 I-frame plane coding (vertical intra).
 
     cur: [h, w] int32; qsteps: [h/8, w/8, 1, 1] or [h/8, w/8, 8, 8].
     Returns (levels [h/8, w/8, 8, 8], recon [h, w]) — recon identical to
-    intra_rows_recon_plane(levels) by construction."""
+    intra_rows_recon_plane(levels) by construction. reset_rows: §13.3
+    intra-slice predictor reset (see intra_rows_recon_plane)."""
     h, w = cur.shape
     nrows = h // BLK
     levels = np.zeros((nrows, w // BLK, BLK, BLK), dtype=np.int32)
     rec = np.zeros((h, w), dtype=np.int32)
     prev = np.full((w,), 128, dtype=np.int32)
     for j in range(nrows):
+        if reset_rows and j % reset_rows == 0:
+            prev = np.full((w,), 128, dtype=np.int32)
         pred = np.broadcast_to(prev[None, :], (BLK, w))
         resid = blockify(cur[j * BLK : (j + 1) * BLK] - pred, BLK)[0]
         lv = quantize(forward_transform(resid), qsteps[j], qbias)

@@ -109,14 +109,17 @@ def qsteps_pos(q: jnp.ndarray, use_matrix: bool) -> jnp.ndarray:
     return jnp.maximum(1, (q[..., None, None] * QMAT + 8) >> 4)
 
 
-def intra_rows_code_plane(cur: jnp.ndarray, qsteps: jnp.ndarray, qbias: int):
+def intra_rows_code_plane(cur: jnp.ndarray, qsteps: jnp.ndarray, qbias: int,
+                          reset_rows: int = 0):
     """jnp twin of spec.intra_rows_code_plane (§13.1): v3 I-frame vertical
     intra coding of one plane as a lax.scan over its h/8 block rows.
 
     cur: [h, w] int32; qsteps: [h/8, w/8, 1, 1] or [h/8, w/8, 8, 8].
     Returns (levels [h/8, w/8, 8, 8], recon [h, w]) — bit-exact with the
     numpy reference; the sequential row chain is the format's only serial
-    dependency and runs entirely on device.
+    dependency and runs entirely on device. reset_rows (static) > 0: §13.3
+    intra-slice predictor reset every reset_rows block rows, making slices
+    independent (the tile-sharding enabler).
     """
     import jax
 
@@ -124,7 +127,10 @@ def intra_rows_code_plane(cur: jnp.ndarray, qsteps: jnp.ndarray, qbias: int):
     stripes = cur.reshape(h // 8, 8, w)
 
     def body(prev, args):
-        stripe, qj = args
+        stripe, qj, j = args
+        if reset_rows:
+            prev = jnp.where(j % reset_rows == 0,
+                             jnp.full_like(prev, 128), prev)
         pred = jnp.broadcast_to(prev[None, :], (8, w))
         resid = blockify(stripe - pred, 8)[0]        # [w/8, 8, 8]
         lv = quantize(forward_transform(resid), qj, qbias)
@@ -133,26 +139,35 @@ def intra_rows_code_plane(cur: jnp.ndarray, qsteps: jnp.ndarray, qbias: int):
         return rec[-1], (lv, rec)
 
     init = jnp.full((w,), 128, jnp.int32)
-    _, (levels, rec) = jax.lax.scan(body, init, (stripes, qsteps))
+    _, (levels, rec) = jax.lax.scan(
+        body, init, (stripes, qsteps, jnp.arange(h // 8, dtype=jnp.int32))
+    )
     return levels, rec.reshape(h, w)
 
 
-def intra_rows_recon_plane(levels: jnp.ndarray, qsteps: jnp.ndarray):
+def intra_rows_recon_plane(levels: jnp.ndarray, qsteps: jnp.ndarray,
+                           reset_rows: int = 0):
     """jnp twin of spec.intra_rows_recon_plane (§13.1 decoder side).
 
-    levels: [h/8, w/8, 8, 8]; returns recon [h, w]."""
+    levels: [h/8, w/8, 8, 8]; returns recon [h, w]. reset_rows (static):
+    §13.3 intra-slice predictor reset."""
     import jax
 
     nrows, ncols = levels.shape[:2]
     w = ncols * 8
 
     def body(prev, args):
-        lvj, qj = args
+        lvj, qj, j = args
+        if reset_rows:
+            prev = jnp.where(j % reset_rows == 0,
+                             jnp.full_like(prev, 128), prev)
         pred = jnp.broadcast_to(prev[None, :], (8, w))
         rec = unblockify(inverse_transform(dequantize(lvj, qj))[None]) + pred
         rec = jnp.clip(rec, 0, 255)
         return rec[-1], rec
 
     init = jnp.full((w,), 128, jnp.int32)
-    _, rec = jax.lax.scan(body, init, (levels, qsteps))
+    _, rec = jax.lax.scan(
+        body, init, (levels, qsteps, jnp.arange(nrows, dtype=jnp.int32))
+    )
     return rec.reshape(nrows * 8, w)

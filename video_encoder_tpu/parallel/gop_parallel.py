@@ -30,13 +30,14 @@ from ..pipeline.gop_engine import encode_gop_jit, _bucket, _block_words_for_qp
     jax.jit,
     static_argnames=(
         "mesh", "search", "rc", "block_words", "cap_words", "target_bits",
-        "fmt", "cqpo", "qbias", "vbv_bits",
+        "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "islice",
     ),
 )
 def encode_gop_batch_sharded(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, search, rc, block_words, cap_words, target_bits,
     fmt: int = 1, cqpo: int = 0, qbias: int = 8, vbv_bits: int = 0,
+    qmat: bool = False, islice: int = 0,
 ):
     """Encode [G, T, ...] uint8 GOP batch, G sharded over the 'gop' axis.
 
@@ -47,7 +48,7 @@ def encode_gop_batch_sharded(
     kw = dict(
         search=search, rc=rc, block_words=block_words,
         cap_words=cap_words, target_bits=target_bits, fmt=fmt, cqpo=cqpo,
-        qbias=qbias, vbv_bits=vbv_bits,
+        qbias=qbias, vbv_bits=vbv_bits, qmat=qmat, islice=islice,
     )
 
     def per_device(y, cb, cr):
@@ -115,6 +116,7 @@ class ShardedGopEncoder:
                 target_bits=cfg.target_bits_per_frame(),
                 fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
                 qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
+                qmat=cfg.quant_matrix, islice=cfg.intra_slice_mbrows,
             )
             if ntile > 1:
                 from .tiles import encode_gop_batch_2d

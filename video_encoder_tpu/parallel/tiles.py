@@ -124,12 +124,17 @@ def encode_frame_tile_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
     *, is_p: bool, rc: str, block_words: int, cap_words: int,
     axis_name: str = "tile", ref_mode: str = "halo",
-    fmt: int = 1, cqpo: int = 0, qbias: int = 8,
+    fmt: int = 1, cqpo: int = 0, qbias: int = 8, qmat: bool = False,
+    islice: int = 0,
 ):
     """Per-shard frame encode; cur_/ref_ planes are local row shards.
 
     Collectives: halo ppermute (or all_gather) for the reference, psum for
     the frame bit total. Returns local payload words/bits + recon shards.
+    fmt=3 requires islice (SPEC.md §13.3) dividing the shard's MB rows: the
+    I-frame vertical-intra chain then resets at (at least) every shard
+    boundary, so each shard codes its rows with zero cross-shard state —
+    byte-identical to the unsharded v3 encode at the same islice.
     """
     dc, icost = motion.intra_cost_and_dc(cur_y)
     nby, nbx = icost.shape
@@ -159,16 +164,38 @@ def encode_frame_tile_traced(
     # row-sharded pack needs no cross-shard state
     pack = entropy.pack_frame_planes_v2 if fmt >= 2 else entropy.pack_frame_planes
 
+    def code(qps):
+        """Levels + recon at the given qps — the predicted path, or the v3
+        I-frame vertical-intra rows with the §13.3 slice reset (shards start
+        at slice boundaries, so local reset == global pattern)."""
+        if fmt >= 3 and not is_p:
+            qs = tx.qstep(qps)
+            qs_y = tx.qsteps_pos(jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1), qmat)
+            qs_c = tx.qsteps_pos(
+                qs if cqpo == 0 else tx.qstep(
+                    jnp.clip(qps + cqpo, spec.QP_MIN, spec.QP_MAX)
+                ),
+                qmat,
+            )
+            lv_y, rec_y = tx.intra_rows_code_plane(cur_y, qs_y, qbias, 2 * islice)
+            lv_cb, rec_cb = tx.intra_rows_code_plane(cur_cb, qs_c, qbias, islice)
+            lv_cr, rec_cr = tx.intra_rows_code_plane(cur_cr, qs_c, qbias, islice)
+            return (
+                (tx.zigzag(lv_y), tx.zigzag(lv_cb), tx.zigzag(lv_cr)),
+                rec_y, rec_cb, rec_cr,
+            )
+        return _code_frame(
+            cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qps,
+            cqpo if fmt >= 2 else 0, qbias, qmat,
+        )
+
     if rc == "adaptive":
         qp_mb = motion.adaptive_qp(base_qp, icost)
     elif rc == "mb":
         # SPEC.md §10.4 is row-local (pace vs the MB row's own total), so
         # each tile shard's pass-1 probe is self-contained — no collective
         flat = jnp.full((nby, nbx), base_qp, jnp.int32)
-        (p_y, p_cb, p_cr), _, _, _ = _code_frame(
-            cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, flat,
-            cqpo if fmt >= 2 else 0, qbias,
-        )
+        (p_y, p_cb, p_cr), _, _, _ = code(flat)
         _, _, est, _ = pack(
             p_y, p_cb, p_cr, flat - base_qp, jnp.asarray(is_p), is_inter,
             dy, dx, block_words, cap_words,
@@ -181,10 +208,7 @@ def encode_frame_tile_traced(
     else:
         qp_mb = jnp.full((nby, nbx), base_qp, jnp.int32)
 
-    (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr = _code_frame(
-        cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qp_mb,
-        cqpo if fmt >= 2 else 0, qbias,
-    )
+    (lz_y, lz_cb, lz_cr), rec_y, rec_cb, rec_cr = code(qp_mb)
     words, bits, mb_bits, ovf_p = pack(
         lz_y, lz_cb, lz_cr, qp_mb - base_qp, jnp.asarray(is_p), is_inter,
         dy, dx, block_words, cap_words,
@@ -201,6 +225,7 @@ def tile_gop_scan(
     y, cb, cr, base_qp,
     *, rc, block_words, cap_words, target_bits, ref_mode="halo",
     fmt: int = 1, cqpo: int = 0, qbias: int = 8, vbv_bits: int = 0,
+    qmat: bool = False, islice: int = 0,
 ):
     """Per-shard GOP scan over one GOP's local row shards [T, H/ntile, W].
 
@@ -214,7 +239,7 @@ def tile_gop_scan(
         cur_cb = xs["cb"].astype(jnp.int32)
         cur_cr = xs["cr"].astype(jnp.int32)
         kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
-                  fmt=fmt, cqpo=cqpo, qbias=qbias)
+                  fmt=fmt, cqpo=cqpo, qbias=qbias, qmat=qmat, islice=islice)
         out = jax.lax.cond(
             xs["i"] > 0,
             lambda: encode_frame_tile_traced(
@@ -255,27 +280,35 @@ def tile_gop_scan(
     jax.jit,
     static_argnames=("mesh", "rc", "block_words", "cap_words",
                      "target_bits", "ref_mode", "fmt", "cqpo", "qbias",
-                     "vbv_bits"),
+                     "vbv_bits", "qmat", "islice"),
 )
 def encode_gop_tiled(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, rc, block_words, cap_words, target_bits, ref_mode="halo",
     fmt: int = 1, cqpo: int = 0, qbias: int = 8, vbv_bits: int = 0,
+    qmat: bool = False, islice: int = 0,
 ):
     """GOP encode with frames row-sharded over the 'tile' mesh axis.
 
     y_u8: [T, H, W] uint8 (H/16 divisible by tile devices). Output words/
-    bits are per-shard, P('tile') on their leading shard axis. Formats 1-2
-    only: v3's I-frame vertical intra chain crosses MB-row shard
-    boundaries (SPEC.md §13.1), so tile sharding would need a sequential
-    inter-shard pipeline — use GOP sharding for v3.
+    bits are per-shard, P('tile') on their leading shard axis. v3 needs
+    intra slices (SPEC.md §13.3): classic v3's I-frame vertical intra chain
+    crosses MB-row shard boundaries, but with islice dividing the per-shard
+    MB rows every shard starts at a slice boundary and the chain resets
+    there — shards are independent by construction (the H.264-slice move),
+    and the tiled stream equals the unsharded one at the same islice.
     """
-    if fmt >= 3:
-        raise ValueError("tile sharding supports formats 1-2 (v3 I-frame "
-                         "intra rows cross shard boundaries)")
+    ntile = mesh.shape["tile"]
+    mb_rows_shard = y_u8.shape[1] // spec.MB // ntile
+    if fmt >= 3 and (islice == 0 or mb_rows_shard % islice):
+        raise ValueError(
+            f"v3 tile sharding needs intra_slice_mbrows dividing the "
+            f"per-shard MB rows ({mb_rows_shard}); got islice={islice} "
+            "(SPEC.md §13.3)")
     kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
               target_bits=target_bits, ref_mode=ref_mode, fmt=fmt,
-              cqpo=cqpo, qbias=qbias, vbv_bits=vbv_bits)
+              cqpo=cqpo, qbias=qbias, vbv_bits=vbv_bits, qmat=qmat,
+              islice=islice)
 
     def per_shard(y, cb, cr):
         outs = tile_gop_scan(y, cb, cr, base_qp, **kw)
@@ -299,12 +332,13 @@ def encode_gop_tiled(
     jax.jit,
     static_argnames=("mesh", "rc", "block_words", "cap_words",
                      "target_bits", "ref_mode", "fmt", "cqpo", "qbias",
-                     "vbv_bits"),
+                     "vbv_bits", "qmat", "islice"),
 )
 def encode_gop_batch_2d(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, rc, block_words, cap_words, target_bits, ref_mode="halo",
     fmt: int = 1, cqpo: int = 0, qbias: int = 8, vbv_bits: int = 0,
+    qmat: bool = False, islice: int = 0,
 ):
     """Fused 2-D program (SURVEY.md §3.4; VERDICT r1 missing #2): ONE
     shard_map shards the GOP batch over 'gop' AND every frame's MB rows
@@ -316,10 +350,19 @@ def encode_gop_batch_2d(
     'gop' axis carries no collectives — GOPs are closed under prediction.
     Outputs: words [G, ntile, T, cap/ntile], bits/qp/ovf [G, ntile, T]
     (host: bit_concat over the tile axis restores each frame's payload).
+    v3 needs islice dividing the per-shard MB rows (SPEC.md §13.3, same
+    rule as encode_gop_tiled).
     """
+    mb_rows_shard = y_u8.shape[2] // spec.MB // mesh.shape["tile"]
+    if fmt >= 3 and (islice == 0 or mb_rows_shard % islice):
+        raise ValueError(
+            f"v3 tile sharding needs intra_slice_mbrows dividing the "
+            f"per-shard MB rows ({mb_rows_shard}); got islice={islice} "
+            "(SPEC.md §13.3)")
     kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
               target_bits=target_bits, ref_mode=ref_mode, fmt=fmt,
-              cqpo=cqpo, qbias=qbias, vbv_bits=vbv_bits)
+              cqpo=cqpo, qbias=qbias, vbv_bits=vbv_bits, qmat=qmat,
+              islice=islice)
 
     def per_device(y, cb, cr):
         def one(args):
@@ -343,6 +386,30 @@ def encode_gop_batch_2d(
     )(y_u8, cb_u8, cr_u8)
 
 
+def mb_rc_offsets_tile2d(est, ac: str):
+    """SPEC.md §10.4 rc=mb offsets on a column-sharded MB grid: the pace
+    needs each MB row's GLOBAL total and each MB's global prefix/position,
+    so one psum (row totals) + one all_gather (per-shard share sums → the
+    exclusive cross-shard prefix) ride the 'tc' axis. Bit-identical to
+    gop_engine.mb_rc_offsets_jnp on the unsharded grid (r2 verdict item 4)."""
+    est = est.astype(jnp.int32)
+    nbx_local = est.shape[-1]
+    sc = jax.lax.axis_size(ac)
+    ci = jax.lax.axis_index(ac)
+    row_tot = jnp.maximum(
+        jax.lax.psum(est.sum(axis=-1, keepdims=True), ac), 1
+    )
+    share = est * 1024 // row_tot
+    share_sum = share.sum(axis=-1, keepdims=True)            # [nby, 1]
+    gathered = jax.lax.all_gather(share_sum, ac)             # [sc, nby, 1]
+    mask = (jnp.arange(sc) < ci)[:, None, None]
+    prefix = jnp.sum(jnp.where(mask, gathered, 0), axis=0)   # [nby, 1]
+    spent = prefix + jnp.cumsum(share, axis=-1) - share
+    gx = ci * nbx_local + jnp.arange(nbx_local, dtype=jnp.int32)
+    plan = (gx * 1024) // (sc * nbx_local)
+    return jnp.clip((spent - plan) >> 7, -2, 2)
+
+
 def encode_frame_tile2d_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
     *, is_p: bool, rc: str, block_words: int, row_words: int,
@@ -355,6 +422,8 @@ def encode_frame_tile2d_traced(
     row strings so the host can restore the frame's MB raster order across
     column shards. Format v1 only: v2's left-MV/DC prediction would need a
     boundary-column exchange along 'tc' (1-D row sharding covers v2).
+    rc=mb runs its pass-1 probe per shard and derives the global pace via
+    mb_rc_offsets_tile2d's 'tc' collectives.
     """
     dc, icost = motion.intra_cost_and_dc(cur_y)
     nby, nbx = icost.shape
@@ -381,6 +450,20 @@ def encode_frame_tile2d_traced(
 
     if rc == "adaptive":
         qp_mb = motion.adaptive_qp(base_qp, icost)
+    elif rc == "mb":
+        # SPEC.md §10.4 pass 1 at the flat qp; global pace via 'tc'
+        # collectives (mb_rc_offsets_tile2d)
+        flat = jnp.full((nby, nbx), base_qp, jnp.int32)
+        (p_y, p_cb, p_cr), _, _, _ = _code_frame(
+            cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, flat, 0, qbias,
+        )
+        _, _, est, _ = entropy.pack_frame_rows(
+            p_y, p_cb, p_cr, flat - base_qp, jnp.asarray(is_p), is_inter,
+            dy, dx, block_words, row_words,
+        )
+        qp_mb = jnp.clip(
+            base_qp + mb_rc_offsets_tile2d(est, ac), spec.QP_MIN, spec.QP_MAX
+        )
     else:
         qp_mb = jnp.full((nby, nbx), base_qp, jnp.int32)
 
@@ -413,15 +496,11 @@ def encode_gop_tiled2d(
     MB rows over 'tr' AND MB columns over 'tc', corner-correct halo
     (SURVEY.md §2.1 TP row; VERDICT r1 missing #4 / next-step #6).
 
-    y_u8: [T, H, W] uint8; H/16 divisible by Sr, W/16 by Sc. rc="mb" is
-    rejected by the caller (its pace prefix spans column shards). Outputs
-    per shard, per frame, per local MB row: words [Sr, Sc, T, nby_s, roww],
-    row_bits [Sr, Sc, T, nby_s].
+    y_u8: [T, H, W] uint8; H/16 divisible by Sr, W/16 by Sc. rc="mb" derives
+    its row-spanning pace via one psum + one all_gather along 'tc'
+    (mb_rc_offsets_tile2d). Outputs per shard, per frame, per local MB row:
+    words [Sr, Sc, T, nby_s, roww], row_bits [Sr, Sc, T, nby_s].
     """
-    if rc == "mb":
-        raise ValueError(
-            "rc='mb' needs a row-spanning prefix; use 1-D row tiles"
-        )
 
     def per_shard(y, cb, cr):
         def body(carry, xs):

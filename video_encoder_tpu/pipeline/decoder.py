@@ -22,16 +22,17 @@ from ..codec.golden import Frame, decode_frame
 
 class GoldenDecodeEngine:
     def __init__(self, version: int = 1, chroma_qp_offset: int = 0,
-                 quant_matrix: bool = False):
+                 quant_matrix: bool = False, intra_slice: int = 0):
         self.version = version
         self.chroma_qp_offset = chroma_qp_offset
         self.quant_matrix = quant_matrix
+        self.intra_slice = intra_slice
 
     def decode(self, width, height, pkt: bitstream.FramePacket, ref: Frame | None) -> Frame:
         return decode_frame(
             width, height, pkt.frame_type, pkt.base_qp, pkt.payload,
             pkt.payload_bits, ref, self.version, self.chroma_qp_offset,
-            self.quant_matrix,
+            self.quant_matrix, self.intra_slice,
         )
 
 
@@ -39,13 +40,14 @@ class DeviceDecodeEngine:
     """C++ entropy parse on host, reconstruction on device (C14 shared math)."""
 
     def __init__(self, version: int = 1, chroma_qp_offset: int = 0,
-                 quant_matrix: bool = False):
+                 quant_matrix: bool = False, intra_slice: int = 0):
         from ..codec import native
 
         self._native = native
         self.version = version
         self.chroma_qp_offset = chroma_qp_offset
         self.quant_matrix = quant_matrix
+        self.intra_slice = intra_slice
         import jax
 
         try:
@@ -61,10 +63,10 @@ class DeviceDecodeEngine:
     @staticmethod
     @functools.partial(
         __import__("jax").jit,
-        static_argnames=("is_p", "fmt", "cqpo", "qmat"),
+        static_argnames=("is_p", "fmt", "cqpo", "qmat", "islice"),
     )
     def _recon(levels_zz, dy, dx, is_inter, qp_mb, ref_y, ref_cb, ref_cr,
-               *, is_p, fmt=1, cqpo=0, qmat=False):
+               *, is_p, fmt=1, cqpo=0, qmat=False, islice=0):
         # imports resolved at module scope (importing inside the trace would
         # turn the modules' jnp table constants into leaked tracers)
         import jax.numpy as jnp
@@ -85,9 +87,9 @@ class DeviceDecodeEngine:
             yb, cbb, crb = scatter_blocks(lv6)
             qs_y = tx.qsteps_pos(jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1), qmat)
             qs_c = tx.qsteps_pos(qc, qmat)
-            rec_y = tx.intra_rows_recon_plane(yb, qs_y)
-            rec_cb = tx.intra_rows_recon_plane(cbb, qs_c)
-            rec_cr = tx.intra_rows_recon_plane(crb, qs_c)
+            rec_y = tx.intra_rows_recon_plane(yb, qs_y, 2 * islice)
+            rec_cb = tx.intra_rows_recon_plane(cbb, qs_c, islice)
+            rec_cr = tx.intra_rows_recon_plane(crb, qs_c, islice)
             return rec_y, rec_cb, rec_cr
 
         if is_p:
@@ -134,6 +136,7 @@ class DeviceDecodeEngine:
             jnp.asarray(ref.y, jnp.int32), jnp.asarray(ref.cb, jnp.int32),
             jnp.asarray(ref.cr, jnp.int32), is_p=is_p, fmt=self.version,
             cqpo=self.chroma_qp_offset, qmat=self.quant_matrix,
+            islice=self.intra_slice,
         )
         return Frame(np.asarray(ry), np.asarray(rcb), np.asarray(rcr))
 
@@ -149,8 +152,9 @@ def _decode_gop_jit():
     from ..ops import dispatch
     from ..ops import transform as tx
 
-    @functools.partial(jax.jit, static_argnames=("cqpo", "fmt", "qmat"))
-    def decode_gop(ly, lcb, lcr, dy, dx, inter, qp, cqpo=0, fmt=1, qmat=False):
+    @functools.partial(jax.jit, static_argnames=("cqpo", "fmt", "qmat", "islice"))
+    def decode_gop(ly, lcb, lcr, dy, dx, inter, qp, cqpo=0, fmt=1, qmat=False,
+                   islice=0):
         """Reconstruct a [T, ...] GOP on device in one lax.scan program —
         the decode mirror of gop_engine.encode_gop_jit. Frame 0 is the I
         frame (its `inter` mask is all-False, so the MC path is masked off
@@ -173,13 +177,16 @@ def _decode_gop_jit():
 
         def recon_frame_v3_intra(xs, qy, qc):
             rec_y = tx.intra_rows_recon_plane(
-                tx.unzigzag(xs["ly"].astype(jnp.int32)), tx.qsteps_pos(qy, qmat)
+                tx.unzigzag(xs["ly"].astype(jnp.int32)),
+                tx.qsteps_pos(qy, qmat), 2 * islice,
             )
             rec_cb = tx.intra_rows_recon_plane(
-                tx.unzigzag(xs["lcb"].astype(jnp.int32)), tx.qsteps_pos(qc, qmat)
+                tx.unzigzag(xs["lcb"].astype(jnp.int32)),
+                tx.qsteps_pos(qc, qmat), islice,
             )
             rec_cr = tx.intra_rows_recon_plane(
-                tx.unzigzag(xs["lcr"].astype(jnp.int32)), tx.qsteps_pos(qc, qmat)
+                tx.unzigzag(xs["lcr"].astype(jnp.int32)),
+                tx.qsteps_pos(qc, qmat), islice,
             )
             return rec_y, rec_cb, rec_cr
 
@@ -245,7 +252,7 @@ class GopDecodeEngine:
     round-trips (the decode mirror of GopEngine)."""
 
     def __init__(self, version: int = 1, chroma_qp_offset: int = 0,
-                 quant_matrix: bool = False):
+                 quant_matrix: bool = False, intra_slice: int = 0):
         from ..codec import native
 
         self._native = native
@@ -254,6 +261,7 @@ class GopDecodeEngine:
         self.version = version
         self.chroma_qp_offset = chroma_qp_offset
         self.quant_matrix = quant_matrix
+        self.intra_slice = intra_slice
 
     def decode_gop(self, width: int, height: int, packets) -> list[Frame]:
         """packets: one GOP (first packet is the I frame)."""
@@ -272,7 +280,7 @@ class GopDecodeEngine:
             jnp.asarray(ly), jnp.asarray(lcb), jnp.asarray(lcr),
             jnp.asarray(dy), jnp.asarray(dx), jnp.asarray(inter),
             jnp.asarray(qps), cqpo=self.chroma_qp_offset, fmt=self.version,
-            qmat=self.quant_matrix,
+            qmat=self.quant_matrix, islice=self.intra_slice,
         )
         ry = np.asarray(ry).astype(np.int32)
         rcb = np.asarray(rcb).astype(np.int32)
@@ -287,11 +295,12 @@ def decode_clip_gop(
     info, packets = bitstream.demux(f)
     if engine is None:
         engine = GopDecodeEngine(info.version, info.chroma_qp_offset,
-                                 info.quant_matrix)
+                                 info.quant_matrix, info.intra_slice_mbrows)
     else:
         engine.version = info.version
         engine.chroma_qp_offset = info.chroma_qp_offset
         engine.quant_matrix = info.quant_matrix
+        engine.intra_slice = info.intra_slice_mbrows
 
     def frames():
         gop: list = []
@@ -315,11 +324,13 @@ def decode_clip(
     info, packets = bitstream.demux(f)
     if engine is None:
         engine = GoldenDecodeEngine(info.version, info.chroma_qp_offset,
-                                    info.quant_matrix)
+                                    info.quant_matrix, info.intra_slice_mbrows)
     elif getattr(engine, "version", None) is not None:
         engine.version = info.version
         engine.chroma_qp_offset = info.chroma_qp_offset
         engine.quant_matrix = info.quant_matrix
+        if hasattr(engine, "intra_slice"):
+            engine.intra_slice = info.intra_slice_mbrows
 
     def frames():
         ref: Frame | None = None

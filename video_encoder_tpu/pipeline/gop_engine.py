@@ -113,6 +113,7 @@ def encode_frame_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
     *, is_p: bool, search: str, rc: str, block_words: int, cap_words: int,
     fmt: int = 1, cqpo: int = 0, qbias: int = 8, qmat: bool = False,
+    islice: int = 0,
 ):
     """One frame, traceable; is_p/search/rc/fmt/cqpo/qbias/qmat are static.
 
@@ -159,9 +160,9 @@ def encode_frame_traced(
                 ),
                 qmat,
             )
-            lv_y, rec_y = tx.intra_rows_code_plane(cur_y, qs_y, qbias)
-            lv_cb, rec_cb = tx.intra_rows_code_plane(cur_cb, qs_c, qbias)
-            lv_cr, rec_cr = tx.intra_rows_code_plane(cur_cr, qs_c, qbias)
+            lv_y, rec_y = tx.intra_rows_code_plane(cur_y, qs_y, qbias, 2 * islice)
+            lv_cb, rec_cb = tx.intra_rows_code_plane(cur_cb, qs_c, qbias, islice)
+            lv_cr, rec_cr = tx.intra_rows_code_plane(cur_cr, qs_c, qbias, islice)
             return (
                 (tx.zigzag(lv_y), tx.zigzag(lv_cb), tx.zigzag(lv_cr)),
                 rec_y, rec_cb, rec_cr,
@@ -212,13 +213,14 @@ def encode_frame_traced(
 @functools.partial(
     jax.jit,
     static_argnames=("search", "rc", "block_words", "cap_words", "target_bits",
-                     "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "unroll"),
+                     "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "unroll",
+                     "islice"),
 )
 def encode_gop_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, search: str, rc: str, block_words: int, cap_words: int,
     target_bits: int, fmt: int = 1, cqpo: int = 0, qbias: int = 8,
-    vbv_bits: int = 0, qmat: bool = False, unroll: int = 1,
+    vbv_bits: int = 0, qmat: bool = False, unroll: int = 1, islice: int = 0,
 ):
     """Encode a [T, ...] uint8 GOP on device. Returns stacked per-frame
     outputs (words/bits/ovf/qp/n_inter/sse). unroll feeds lax.scan's
@@ -234,7 +236,7 @@ def encode_gop_jit(
 
         kw = dict(search=search, rc=rc, block_words=block_words,
                   cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias,
-                  qmat=qmat)
+                  qmat=qmat, islice=islice)
         out = jax.lax.cond(
             idx > 0,
             lambda: encode_frame_traced(
@@ -272,13 +274,14 @@ def encode_gop_jit(
 @functools.partial(
     jax.jit,
     static_argnames=("search", "rc", "block_words", "cap_words", "target_bits",
-                     "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "unroll"),
+                     "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "unroll",
+                     "islice"),
 )
 def encode_gop_batch_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, search: str, rc: str, block_words: int, cap_words: int,
     target_bits: int, fmt: int = 1, cqpo: int = 0, qbias: int = 8,
-    vbv_bits: int = 0, qmat: bool = False, unroll: int = 1,
+    vbv_bits: int = 0, qmat: bool = False, unroll: int = 1, islice: int = 0,
 ):
     """Encode G independent GOPs in lockstep on ONE chip: inputs [G, T, ...]
     uint8, one lax.scan over T whose body is vmapped over the GOP axis.
@@ -296,7 +299,8 @@ def encode_gop_batch_jit(
     """
     g, t_frames = y_u8.shape[0], y_u8.shape[1]
     kw = dict(search=search, rc=rc, block_words=block_words,
-              cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias, qmat=qmat)
+              cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias, qmat=qmat,
+              islice=islice)
 
     def enc(is_p):
         def one(cy, ccb, ccr, ry, rcb, rcr, qp):
@@ -381,7 +385,7 @@ class GopEngine:
             cap_words=cap, target_bits=cfg.target_bits_per_frame(),
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
             qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
-            qmat=cfg.quant_matrix,
+            qmat=cfg.quant_matrix, islice=cfg.intra_slice_mbrows,
         )
 
     def encode_gop_start(
@@ -487,7 +491,7 @@ class GopEngine:
             cap_words=cap, target_bits=cfg.target_bits_per_frame(),
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
             qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
-            qmat=cfg.quant_matrix,
+            qmat=cfg.quant_matrix, islice=cfg.intra_slice_mbrows,
         )
 
     def encode_gops_start(
