@@ -53,11 +53,25 @@ def synth_clip(t, h, w, seed=0):
     return np.stack(ys), np.stack(cbs), np.stack(crs)
 
 
-def oracle_baseline_fps(w, h, frames):
-    """Single-core C++ oracle encoder fps at the same resolution; builds the
-    binary with make on first use (it is gitignored, so fresh checkouts
-    start without it)."""
-    odir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle")
+def oracle_baseline_fps(w, h, frames=16, tries=3):
+    """Single-core C++ oracle encoder fps at the same resolution: >=16
+    frames, best of 3 runs (r2 verdict item 2 — the 4-frame single-run
+    denominator drifted +-30% between rounds). The measurement is cached in
+    tools/oracle_baseline.json (committed) so the headline multiplier is
+    derivable from one committed artifact; delete the file to re-measure.
+    Builds the gitignored binary with make on first use."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    cache_path = os.path.join(root, "tools", "oracle_baseline.json")
+    key = f"{w}x{h}"
+    try:
+        with open(cache_path) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        cache = {}
+    if key in cache:
+        return cache[key]["fps"]
+
+    odir = os.path.join(root, "oracle")
     exe = os.path.join(odir, "oracle")
     if not os.path.exists(exe):
         try:
@@ -69,21 +83,39 @@ def oracle_baseline_fps(w, h, frames):
     import tempfile
 
     y, cb, cr = synth_clip(frames, h, w, seed=1)
+    per_try = []
     with tempfile.TemporaryDirectory() as td:
         raw = os.path.join(td, "in.yuv")
         out = os.path.join(td, "out.tvc")
         with open(raw, "wb") as f:
             for k in range(frames):
                 f.write(y[k].tobytes() + cb[k].tobytes() + cr[k].tobytes())
-        t0 = time.perf_counter()
-        r = subprocess.run(
-            [exe, "encode", raw, out, str(w), str(h), "30", "8", "full", "none", "0"],
-            capture_output=True,
-        )
-        dt = time.perf_counter() - t0
-        if r.returncode != 0:
-            return None
-        return frames / dt
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            r = subprocess.run(
+                [exe, "encode", raw, out, str(w), str(h), "30", "30", "full",
+                 "none", "0"],
+                capture_output=True,
+            )
+            dt = time.perf_counter() - t0
+            if r.returncode != 0:
+                return None
+            per_try.append(frames / dt)
+    fps = max(per_try)
+    cache[key] = dict(
+        fps=round(fps, 4), frames=frames, tries=tries,
+        per_try=[round(x, 4) for x in per_try],
+        # same operating point as the TPU row: GOP=30, qp 30, full search,
+        # rc none (earlier rounds ran the oracle at qp 8 — a slower point
+        # that inflated the multiplier)
+        config="gop=30 qp=30 full rc=none",
+    )
+    try:
+        with open(cache_path, "w") as f:
+            json.dump(cache, f, indent=1)
+    except OSError:
+        pass
+    return fps
 
 
 def main():
@@ -118,14 +150,28 @@ def main():
         np.asarray(outs["bits"])
         return t * reps / (time.perf_counter() - t0)
 
-    def e2e_fps(t):
-        """Upload-inclusive: fresh host arrays every GOP (tunnel-limited)."""
-        y, cb, cr = synth_clip(t, hp, W)
-        encode_gop_jit(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), 30, **kw)
-        t0 = time.perf_counter()
+    def e2e_fps(t, n_gops=3):
+        """Upload-inclusive clip shape WITH the async double-buffer the
+        design ships (r2 verdict weak #6): GOP k's upload+dispatch overlaps
+        GOP k-1's device compute; one payload fetch per GOP. Still bounded
+        by this container's ~26 MB/s tunnel, but now measuring the
+        pipeline, not a blocking single GOP."""
+        gops = [synth_clip(t, hp, W, seed=s) for s in range(n_gops)]
+        # warm-up compile + one fetch
+        y, cb, cr = gops[0]
         outs = encode_gop_jit(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), 30, **kw)
         np.asarray(outs["bits"])
-        return t / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        pending = None
+        for y, cb, cr in gops:
+            outs = encode_gop_jit(
+                jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), 30, **kw
+            )
+            if pending is not None:
+                np.asarray(pending["bits"])
+            pending = outs
+        np.asarray(pending["bits"])
+        return n_gops * t / (time.perf_counter() - t0)
 
     try:
         fps30 = device_fps(30, 4)

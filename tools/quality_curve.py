@@ -25,7 +25,8 @@ import numpy as np
 from bench import synth_clip
 
 
-def measure(w, h, n_frames, qps, search, fmt=1, quant_bias=8):
+def measure(w, h, n_frames, qps, search, fmt=1, quant_bias=8, qmat=False,
+            islice=0):
     from video_encoder_tpu.codec import golden, spec
     from video_encoder_tpu.codec.config import EncoderConfig
     from video_encoder_tpu.pipeline.gop_engine import GopEngine
@@ -40,7 +41,8 @@ def measure(w, h, n_frames, qps, search, fmt=1, quant_bias=8):
     for qp in qps:
         cfg = EncoderConfig(width=w, height=h, gop_n=n_frames, base_qp=qp,
                             search=search, format_version=fmt,
-                            quant_bias=quant_bias)
+                            quant_bias=quant_bias, quant_matrix=qmat,
+                            intra_slice_mbrows=islice)
         pk, st = GopEngine(cfg).encode_gop(frames, 0)
         bits = sum(s.bits for s in st)
         bpp = bits / (n_frames * w * h)
@@ -51,6 +53,12 @@ def measure(w, h, n_frames, qps, search, fmt=1, quant_bias=8):
 
 
 def main():
+    if os.environ.get("TVC_PLATFORM"):
+        # the axon sitecustomize pins the TPU; honor TVC_PLATFORM=cpu like
+        # the CLI does (repo memory: env vars alone do not switch)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["TVC_PLATFORM"])
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=360)
@@ -71,10 +79,21 @@ def main():
         # reference-parity contract; the deadzone curve (quant_bias=5)
         # documents the encoder-side RD win (~+3 dB at equal bpp on this
         # clip) available with an unchanged bitstream format.
-        for fmt, qb, key in ((1, 8, search), (2, 8, f"{search}-v2"),
-                             (2, 5, f"{search}-v2-dz5")):
+        variants = [(1, 8, False, 0, search), (2, 8, False, 0, f"{search}-v2"),
+                    (2, 5, False, 0, f"{search}-v2-dz5")]
+        if search == "full":
+            # v3 rows (r2 verdict item 6): the flagship format on the
+            # measured curve — plain, +quant matrix, +deadzone, and with
+            # §13.3 intra slices (quantifies the slice-restart RD cost
+            # that buys tile-shardability)
+            variants += [(3, 8, False, 0, "full-v3"),
+                         (3, 8, True, 0, "full-v3-qm"),
+                         (3, 5, False, 0, "full-v3-dz5"),
+                         (3, 5, True, 0, "full-v3-qm-dz5"),
+                         (3, 8, False, 2, "full-v3-is2")]
+        for fmt, qb, qmat, isl, key in variants:
             pts = measure(a.width, a.height, a.frames, a.qps, search, fmt,
-                          quant_bias=qb)
+                          quant_bias=qb, qmat=qmat, islice=isl)
             out[key] = pts
             print(f"\n{key} @ {a.width}x{a.height}:")
             print("| qp | bpp | PSNR-Y (dB) | kbit/frame |")

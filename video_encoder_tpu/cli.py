@@ -48,6 +48,10 @@ def cmd_encode(a) -> int:
     if a.engine == "golden":
         engine = GoldenEngine()
     elif a.engine == "device":
+        if a.format != 1:
+            print("error: --engine device is the v1-only per-frame engine; "
+                  "use --engine gop for formats 2-3", file=sys.stderr)
+            return 2
         from .pipeline.device_engine import DeviceEngine
 
         engine = DeviceEngine()

@@ -82,7 +82,8 @@ def encode_gops_multiprocess(cfg, y: np.ndarray, cb: np.ndarray, cr: np.ndarray)
     """Encode a replicated [G,T,...] GOP batch over the global 'gop' mesh.
 
     Returns (local_gop_indices, {gop_index: [(qp, bits, payload_bytes)]},
-    encode_seconds). Packet tuples rather than FramePackets keep this
+    encode_wall_seconds, encode_cpu_seconds). Packet tuples rather than
+    FramePackets keep this
     callable before frame numbering is assigned; callers map gop_index ->
     first frame index. Overflow falls back to worst-case capacity exactly
     like the single-process driver.
@@ -113,15 +114,21 @@ def encode_gops_multiprocess(cfg, y: np.ndarray, cb: np.ndarray, cr: np.ndarray)
             cap_words=cap, target_bits=cfg.target_bits_per_frame(),
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
             qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
+            qmat=cfg.quant_matrix, islice=cfg.intra_slice_mbrows,
         )
 
-    # warm-up compile, then a barriered timed pass (the measured row)
+    # warm-up compile, then a barriered timed pass (the measured row);
+    # process_time() alongside wall time gives the cycle-accounted rate
+    # (r2 verdict item 6: on an oversubscribed dev host, wall-clock weak
+    # scaling measures timeslicing; cpu-seconds measure the work)
     outs, _ = run(False)
     jax.block_until_ready(outs["bits"])
     multihost_utils.sync_global_devices("mp-encode-t0")
     t0 = time.perf_counter()
+    c0 = time.process_time()
     outs, _ = run(False)
     jax.block_until_ready(outs["bits"])
+    cpu_dt = time.process_time() - c0
     multihost_utils.sync_global_devices("mp-encode-t1")
     dt = time.perf_counter() - t0
 
@@ -150,7 +157,7 @@ def encode_gops_multiprocess(cfg, y: np.ndarray, cb: np.ndarray, cr: np.ndarray)
                 )
                 pkts.append((int(qps[j, t]), int(bits[j, t]), payload))
             local[gidx] = pkts
-    return sorted(local), local, dt
+    return sorted(local), local, dt, cpu_dt
 
 
 def _read_clip_gop_batch(path: str, width: int, height: int, n_gops: int,
@@ -185,12 +192,12 @@ def _clip_worker(a) -> int:
     cfg = EncoderConfig(**json.loads(a.cfg))
     y, cb, cr = _read_clip_gop_batch(a.clip, a.width, a.height, a.gops,
                                      cfg.gop_n)
-    owned, local, dt = encode_gops_multiprocess(cfg, y, cb, cr)
+    owned, local, dt, cpu_dt = encode_gops_multiprocess(cfg, y, cb, cr)
     with open(a.dump, "wb") as f:
         pickle.dump(local, f)
     print(json.dumps({
         "process_id": a.process_id, "owned_gops": owned,
-        "encode_s": round(dt, 4),
+        "encode_s": round(dt, 4), "cpu_s": round(cpu_dt, 4),
         "fps": round(len(owned) * cfg.gop_n / dt, 2) if dt else 0,
     }), flush=True)
     return 0
@@ -268,7 +275,7 @@ def _worker(a) -> int:
         fps_num=30 if a.rc != "none" else 0,
     )
     y, cb, cr = synth_gops(a.gops, a.frames, a.height, a.width)
-    owned, local, dt = encode_gops_multiprocess(cfg, y, cb, cr)
+    owned, local, dt, cpu_dt = encode_gops_multiprocess(cfg, y, cb, cr)
 
     # byte-equality vs the single-device engine for the GOPs this process
     # owns — the invariant that makes the distributed path trustworthy
@@ -288,8 +295,10 @@ def _worker(a) -> int:
             n_bad += 1
     print(json.dumps({
         "process_id": a.process_id, "owned_gops": owned,
-        "encode_s": round(dt, 4), "mismatched_gops": n_bad,
+        "encode_s": round(dt, 4), "cpu_s": round(cpu_dt, 4),
+        "mismatched_gops": n_bad,
         "fps": round(a.gops * a.frames / dt, 2),
+        "own_frames": len(owned) * a.frames,
     }), flush=True)
     return 1 if n_bad else 0
 

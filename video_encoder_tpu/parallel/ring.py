@@ -35,13 +35,13 @@ from ..pipeline.gop_engine import encode_frame_traced, rc_carry_step
     jax.jit,
     static_argnames=("mesh", "search", "rc", "block_words", "cap_words",
                      "fmt", "cqpo", "qbias", "target_bits", "vbv_bits",
-                     "qmat"),
+                     "qmat", "islice"),
 )
 def encode_ring_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, search, rc, block_words, cap_words, fmt: int = 1, cqpo: int = 0,
     qbias: int = 8, target_bits: int = 0, vbv_bits: int = 0,
-    qmat: bool = False,
+    qmat: bool = False, islice: int = 0,
 ):
     """y_u8: [T, D, H, W] uint8 pre-rotated so that xs[m] on device d is
     frame m of stream (d - m) mod D. Outputs words/bits in the same rotated
@@ -60,7 +60,7 @@ def encode_ring_jit(
             cur_cr = xs["cr"].astype(jnp.int32)
             kw = dict(search=search, rc=rc, block_words=block_words,
                       cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias,
-                      qmat=qmat)
+                      qmat=qmat, islice=islice)
             out = jax.lax.cond(
                 xs["m"] > 0,
                 lambda: encode_frame_traced(
@@ -166,6 +166,7 @@ class RingEncoder:
             block_words=entropy.BLOCK_WORDS_MAX,
             cap_words=entropy.max_words(n_mbs),
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
+            islice=cfg.intra_slice_mbrows,
             qbias=cfg.quant_bias, target_bits=cfg.target_bits_per_frame(),
             qmat=cfg.quant_matrix,
             vbv_bits=cfg.vbv_bits(),
