@@ -61,3 +61,16 @@ def make_clip(rng, w, h, n, motion=True):
 @pytest.fixture
 def small_clip(rng):
     return make_clip(rng, 64, 48, 5)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_executable_state():
+    """Drop live compiled executables at module boundaries: with ~100
+    accumulated jit programs the XLA:CPU client segfaults compiling the
+    vmapped batch programs (reproducible at the same suite position,
+    absent in any standalone run). The persistent on-disk cache keeps the
+    recompiles cheap; only in-process state is bounded here."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -93,11 +93,16 @@ def _exact_div(n, d):
     return t
 
 
-def _make_code_plane_kernel(th: int, tw: int, qbias: int):
+def _make_code_plane_kernel(th: int, tw: int, qbias: int,
+                            batched: bool = False):
     def kernel(cur_ref, pred_ref, q_ref, bias_ref, cl_ref, cr_ref, clt_ref,
                crt_ref, lv_ref, rec_ref):
-        pred = pred_ref[:]
-        x = cur_ref[:] - pred
+        if batched:  # GOP-batched blocks carry a leading (1,) axis
+            pred = pred_ref[0]
+            x = cur_ref[0] - pred
+        else:
+            pred = pred_ref[:]
+            x = cur_ref[:] - pred
 
         t1 = _rshift_round(_mul8(x, cl_ref, 0))      # B @ x
         coef = _rshift_round(_mul8(t1, cr_ref, 1))   # .. @ B^T
@@ -105,7 +110,7 @@ def _make_code_plane_kernel(th: int, tw: int, qbias: int):
         # per-8x8-block quant step at pixel resolution (expanded by the XLA
         # wrapper: pltpu.repeat is np.tile, not np.repeat, so the interleaved
         # expansion cannot be done here cheaply)
-        q = q_ref[:]
+        q = q_ref[0] if batched else q_ref[:]
 
         n = 16 * jnp.abs(coef) + bias_ref[:] * q
         mag = _exact_div(n, 16 * q)
@@ -116,8 +121,12 @@ def _make_code_plane_kernel(th: int, tw: int, qbias: int):
         u2 = _rshift_round(_mul8(u1, crt_ref, 1))    # .. @ B
         rec = jnp.clip(u2 + pred, 0, 255)
 
-        lv_ref[:] = lv
-        rec_ref[:] = rec
+        if batched:
+            lv_ref[0] = lv
+            rec_ref[0] = rec
+        else:
+            lv_ref[:] = lv
+            rec_ref[:] = rec
 
     return kernel
 
@@ -171,6 +180,82 @@ def _code_plane_call(h: int, w: int, qbias: int):
     return call
 
 
+@functools.lru_cache(maxsize=16)
+def _code_plane_call_g(gn: int, h: int, w: int, qbias: int):
+    """GOP-batched twin of _code_plane_call: grid (G, gy, gx). Needed
+    because vmap-of-pallas_call cannot batch this kernel's broadcast const
+    operands cleanly on all backends; the batched-GOP scan routes here via
+    the custom_vmap rule below."""
+    th = 64 if h % 64 == 0 else 32
+    tw = 256 if w % 256 == 0 else 128
+    gy, gx = h // th, w // tw
+    kernel = _make_code_plane_kernel(th, tw, qbias, batched=True)
+
+    cl = _coef_table(th, 0, False)
+    cr = _coef_table(tw, 1, False)
+    clt = _coef_table(th, 0, True)
+    crt = _coef_table(tw, 1, True)
+    ri = np.arange(th) % 8
+    ci = np.arange(tw) % 8
+    bias16 = np.where(
+        (ri[:, None] == 0) & (ci[None, :] == 0), 8, int(qbias)
+    ).astype(np.int32)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda g, i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bspec():
+        return pl.BlockSpec((1, th, tw), lambda g, i, j: (g, i, j),
+                            memory_space=pltpu.VMEM)
+
+    def call(cur, pred, q_px):
+        return pl.pallas_call(
+            kernel,
+            grid=(gn, gy, gx),
+            in_specs=[
+                bspec(), bspec(), bspec(),
+                const_spec((th, tw)),
+                const_spec((th, 15)),
+                const_spec((15, tw)),
+                const_spec((th, 15)),
+                const_spec((15, tw)),
+            ],
+            out_specs=[bspec(), bspec()],
+            out_shape=[
+                jax.ShapeDtypeStruct((gn, h, w), jnp.int32),
+                jax.ShapeDtypeStruct((gn, h, w), jnp.int32),
+            ],
+        )(cur, pred, q_px, jnp.asarray(bias16), jnp.asarray(cl),
+          jnp.asarray(cr), jnp.asarray(clt), jnp.asarray(crt))
+
+    return call
+
+
+@functools.lru_cache(maxsize=8)
+def _cp_public(qbias: int):
+    """custom_vmap entry for the padded fused kernel at a given qbias:
+    plain call -> single-plane kernel; vmapped (batched-GOP scan) -> the
+    G-grid kernel."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(cur, pred, q_px):
+        h, w = cur.shape
+        return _code_plane_call(h, w, qbias)(cur, pred, q_px)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, cur, pred, q_px):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+        cur, pred, q_px = (bc(x, b) for x, b in
+                           zip((cur, pred, q_px), in_batched))
+        gn, h, w = cur.shape
+        lv, rec = _code_plane_call_g(gn, h, w, qbias)(cur, pred, q_px)
+        return (lv, rec), (True, True)
+
+    return fn
+
+
 def code_plane(cur: jnp.ndarray, pred: jnp.ndarray, q_blk: jnp.ndarray,
                qbias: int = 8, qmat: bool = False):
     """Fused transform→quant→recon of one plane.
@@ -200,8 +285,7 @@ def code_plane(cur: jnp.ndarray, pred: jnp.ndarray, q_blk: jnp.ndarray,
         q_px = jnp.pad(
             q_px, ((0, hp - h), (0, wp - w)), constant_values=1
         )
-    call = _code_plane_call(hp, wp, qbias)
-    lv, rec = call(cur, pred, q_px)
+    lv, rec = _cp_public(qbias)(cur, pred, q_px)
     if (hp, wp) != (h, w):
         lv = lv[:h, :w]
         rec = rec[:h, :w]

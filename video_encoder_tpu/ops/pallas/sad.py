@@ -35,7 +35,7 @@ ND = 2 * R + 1             # 33 shifts per axis
 
 
 def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
-                             stride: int = 1):
+                             stride: int = 1, batched: bool = False):
     """Full-search kernel for a TM x TN-MB tile (TH x TW px).
 
     emit_map=True writes the SAD volume per tile (candidate
@@ -43,7 +43,13 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
     offset lattice, NDS = (ND+stride-1)//stride) instead of reducing to the
     argmin; the diamond search descends over this map (ops/dispatch.py).
     stride=2 gives the even-even sublattice, the only mvs the large-diamond
-    loop can visit — 4x less matmul work than the full map."""
+    loop can visit — 4x less matmul work than the full map.
+
+    batched=True prepends a GOP-batch grid dim (g, i, j) and a leading G
+    axis on every operand: vmap cannot batch a kernel whose reference stays
+    in ANY/HBM (the lowering requires whole-array blocks there), so the
+    batched-GOP scan (r2 verdict item 1) routes through these explicit
+    variants via jax.custom_batching (see full_search below)."""
     assert stride == 1 or (emit_map and 8 % stride == 0)
     NDS = (ND + stride - 1) // stride  # offsets per axis in the emitted map
     TH, TW = TM * MB, TN * MB
@@ -61,19 +67,22 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
         <= 4080 are exact) plus wide tiles (TN=32 amortizes the rots build
         and slice overheads) runs the same frame in ~5.3 ms. The running
         argmin is a packed key sad*2048 + candidate_index whose minimum
-        reproduces the spec's strict-< row-major (dy, dx) first-occurrence
-        tie-break exactly (sad <= 65280, index < 1089: the key fits int32).
+        reproduces the spec's strict-< first-occurrence tie-break exactly
+        (sad <= 65280, index < 1089: the key fits int32).
         """
         if emit_map:
             sad_ref, win, rots, diff, sem = refs
         else:
             sad_ref, idx_ref, win, rots, diff, sem = refs
-        i, j = pl.program_id(0), pl.program_id(1)
-        dma = pltpu.make_async_copy(
-            refpad_hbm.at[pl.ds(i * TH, WH), pl.ds(j * TW, WWA)], win, sem
-        )
+        if batched:
+            g, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+            src = refpad_hbm.at[g, pl.ds(i * TH, WH), pl.ds(j * TW, WWA)]
+        else:
+            i, j = pl.program_id(0), pl.program_id(1)
+            src = refpad_hbm.at[pl.ds(i * TH, WH), pl.ds(j * TW, WWA)]
+        dma = pltpu.make_async_copy(src, win, sem)
         dma.start()
-        cur = cur_ref[:].astype(jnp.bfloat16)
+        cur = (cur_ref[0] if batched else cur_ref[:]).astype(jnp.bfloat16)
         dma.wait()
 
         # row-rotated copies so any visited dy slice becomes sublane-aligned:
@@ -111,9 +120,11 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
 
         if emit_map:
             def map_body(i, carry):
-                sad_ref[0, 0, pl.ds(i * NDS, NDS)] = row_sads(
-                    i * stride
-                ).astype(jnp.int32)
+                rows = row_sads(i * stride).astype(jnp.int32)
+                if batched:
+                    sad_ref[0, 0, 0, pl.ds(i * NDS, NDS)] = rows
+                else:
+                    sad_ref[0, 0, pl.ds(i * NDS, NDS)] = rows
                 return carry
 
             jax.lax.fori_loop(0, NDS, map_body, jnp.int32(0))
@@ -128,8 +139,12 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
         best = jax.lax.fori_loop(
             0, ND, body, jnp.full((TM, TN), jnp.int32(2**31 - 1))
         )
-        sad_ref[0, 0] = best >> 11
-        idx_ref[0, 0] = best & 2047
+        if batched:
+            sad_ref[0, 0, 0] = best >> 11
+            idx_ref[0, 0, 0] = best & 2047
+        else:
+            sad_ref[0, 0] = best >> 11
+            idx_ref[0, 0] = best & 2047
 
     return kernel, TH, TW, WH, WW, WWA
 
@@ -178,22 +193,64 @@ def _full_search_call(nby: int, nbx: int):
     return call, TM, TN, gy, gx, WH, WW, WWA
 
 
-@jax.jit
-def full_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
-    """Exhaustive ±16 SAD search on TPU. Same contract as motion.full_search.
+@functools.lru_cache(maxsize=8)
+def _full_search_call_batch(gn: int, nby: int, nbx: int):
+    """G-batched twin of _full_search_call: grid (G, gy, gx), operands carry
+    a leading G axis (the refpad stays whole in HBM; the kernel DMAs
+    refpad[g]'s window per step)."""
+    TM, TN = _fs_tile_shape(nby, nbx)
+    kernel, TH, TW, WH, WW, WWA = _make_full_search_kernel(TM, TN, batched=True)
+    gy = -(-nby // TM) * TM
+    gx = -(-nbx // TN) * TN
 
-    cur_y, ref_y: [H, W] int32 with H % 16 == 0, W % 16 == 0.
-    """
+    def mb_spec():
+        return pl.BlockSpec(
+            (1, 1, 1, TM, TN), lambda g, i, j: (g, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def call(cur_p, refpad):
+        return pl.pallas_call(
+            kernel,
+            grid=(gn, gy // TM, gx // TN),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, TH, TW), lambda g, i, j: (g, i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[mb_spec(), mb_spec()],
+            out_shape=[
+                jax.ShapeDtypeStruct((gn, gy // TM, gx // TN, TM, TN), jnp.int32),
+                jax.ShapeDtypeStruct((gn, gy // TM, gx // TN, TM, TN), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((WH, WWA), jnp.int32),
+                pltpu.VMEM((8, WH, WWA), jnp.bfloat16),
+                pltpu.VMEM((ND, TH, TW), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(refpad, cur_p)
+
+    return call, TM, TN, gy, gx, WH, WW, WWA
+
+
+def _fs_pads(cur, ref, gy, gx, WH, WW, WWA):
+    """Shared tile/halo padding; works on [H, W] or [G, H, W] (leading axes
+    untouched by the trailing-dim pads)."""
+    h, w = cur.shape[-2:]
+    hp, wp = gy * MB, gx * MB
+    lead = ((0, 0),) * (cur.ndim - 2)
+    cur_p = jnp.pad(cur, lead + ((0, hp - h), (0, wp - w)))
+    ref_p = jnp.pad(ref, lead + ((0, hp - h), (0, wp - w)), mode="edge")
+    refpad = jnp.pad(ref_p, lead + ((R, R), (R, R + (WWA - WW))), mode="edge")
+    return cur_p, refpad
+
+
+def _full_search_impl(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
     h, w = cur_y.shape
     nby, nbx = h // MB, w // MB
     call, TM, TN, gy, gx, WH, WW, WWA = _full_search_call(nby, nbx)
-    TH, TW = TM * MB, TN * MB
-    hp, wp = gy * MB, gx * MB
-    # pad the MB grid up to tile multiples (extra MBs discarded at the end)
-    cur_p = jnp.pad(cur_y, ((0, hp - h), (0, wp - w)))
-    ref_p = jnp.pad(ref_y, ((0, hp - h), (0, wp - w)), mode="edge")
-    refpad = jnp.pad(ref_p, ((R, R), (R, R + (WWA - WW))), mode="edge")
-
+    cur_p, refpad = _fs_pads(cur_y, ref_y, gy, gx, WH, WW, WWA)
     sad, idx = call(cur_p, refpad)
 
     def from_tiles(a):
@@ -205,6 +262,45 @@ def full_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
     dy = idx // ND - R
     dx = idx % ND - R
     return dy, dx, sad
+
+
+def _full_search_batch_impl(cur_g: jnp.ndarray, ref_g: jnp.ndarray):
+    """[G, H, W] planes -> per-GOP (dy, dx, sad), bit-exact with a per-G
+    loop of _full_search_impl (tests/test_tpu_kernels.py)."""
+    gn, h, w = cur_g.shape
+    nby, nbx = h // MB, w // MB
+    call, TM, TN, gy, gx, WH, WW, WWA = _full_search_call_batch(gn, nby, nbx)
+    cur_p, refpad = _fs_pads(cur_g, ref_g, gy, gx, WH, WW, WWA)
+    sad, idx = call(cur_p, refpad)
+
+    def from_tiles(a):
+        g1, g2 = a.shape[1:3]
+        return a.transpose(0, 1, 3, 2, 4).reshape(gn, g1 * TM, g2 * TN)
+
+    sad = from_tiles(sad)[:, :nby, :nbx]
+    idx = from_tiles(idx)[:, :nby, :nbx]
+    dy = idx // ND - R
+    dx = idx % ND - R
+    return dy, dx, sad
+
+
+@jax.custom_batching.custom_vmap
+def full_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+    """Exhaustive ±16 SAD search on TPU. Same contract as motion.full_search.
+
+    cur_y, ref_y: [H, W] int32 with H % 16 == 0, W % 16 == 0. Under vmap
+    (the batched-GOP scan), the custom batch rule routes to the explicit
+    G-grid kernel — the ANY-memory-space reference cannot be vmapped."""
+    return _full_search_impl(cur_y, ref_y)
+
+
+@full_search.def_vmap
+def _full_search_vmap(axis_size, in_batched, cur_y, ref_y):
+    if not in_batched[0]:
+        cur_y = jnp.broadcast_to(cur_y, (axis_size,) + cur_y.shape)
+    if not in_batched[1]:
+        ref_y = jnp.broadcast_to(ref_y, (axis_size,) + ref_y.shape)
+    return _full_search_batch_impl(cur_y, ref_y), (True, True, True)
 
 
 @functools.lru_cache(maxsize=16)
@@ -245,33 +341,97 @@ def _sad_map_call(nby: int, nbx: int, stride: int):
     return call, TM, TN, gy, gx, WH, WW, WWA, ncand
 
 
+@functools.lru_cache(maxsize=16)
+def _sad_map_call_batch(gn: int, nby: int, nbx: int, stride: int):
+    TM, TN = _fs_tile_shape(nby, nbx)
+    kernel, TH, TW, WH, WW, WWA = _make_full_search_kernel(
+        TM, TN, emit_map=True, stride=stride, batched=True
+    )
+    nds = (ND + stride - 1) // stride
+    ncand = nds * nds
+    gy = -(-nby // TM) * TM
+    gx = -(-nbx // TN) * TN
+
+    def call(cur_p, refpad):
+        return pl.pallas_call(
+            kernel,
+            grid=(gn, gy // TM, gx // TN),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, TH, TW), lambda g, i, j: (g, i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, ncand, TM, TN),
+                lambda g, i, j: (g, i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (gn, gy // TM, gx // TN, ncand, TM, TN), jnp.int32
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((WH, WWA), jnp.int32),
+                pltpu.VMEM((8 // stride, WH, WWA), jnp.bfloat16),
+                pltpu.VMEM((nds, TH, TW), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(refpad, cur_p)
+
+    return call, TM, TN, gy, gx, WH, WW, WWA, ncand
+
+
 def _sad_map_impl(cur_y: jnp.ndarray, ref_y: jnp.ndarray, stride: int):
     h, w = cur_y.shape
     nby, nbx = h // MB, w // MB
     call, TM, TN, gy, gx, WH, WW, WWA, ncand = _sad_map_call(nby, nbx, stride)
-    hp, wp = gy * MB, gx * MB
-    cur_p = jnp.pad(cur_y, ((0, hp - h), (0, wp - w)))
-    ref_p = jnp.pad(ref_y, ((0, hp - h), (0, wp - w)), mode="edge")
-    refpad = jnp.pad(ref_p, ((R, R), (R, R + (WWA - WW))), mode="edge")
+    cur_p, refpad = _fs_pads(cur_y, ref_y, gy, gx, WH, WW, WWA)
     m = call(cur_p, refpad)
     m = m.transpose(0, 3, 1, 4, 2).reshape(gy, gx, ncand)
     return m[:nby, :nbx]
 
 
-@jax.jit
-def sad_map(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+def _sad_map_batch_impl(cur_g: jnp.ndarray, ref_g: jnp.ndarray, stride: int):
+    gn, h, w = cur_g.shape
+    nby, nbx = h // MB, w // MB
+    call, TM, TN, gy, gx, WH, WW, WWA, ncand = _sad_map_call_batch(
+        gn, nby, nbx, stride
+    )
+    cur_p, refpad = _fs_pads(cur_g, ref_g, gy, gx, WH, WW, WWA)
+    m = call(cur_p, refpad)
+    m = m.transpose(0, 1, 4, 2, 5, 3).reshape(gn, gy, gx, ncand)
+    return m[:, :nby, :nbx]
+
+
+def _make_sad_map_public(stride: int, doc: str):
+    @jax.custom_batching.custom_vmap
+    def fn(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+        return _sad_map_impl(cur_y, ref_y, stride)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, cur_y, ref_y):
+        if not in_batched[0]:
+            cur_y = jnp.broadcast_to(cur_y, (axis_size,) + cur_y.shape)
+        if not in_batched[1]:
+            ref_y = jnp.broadcast_to(ref_y, (axis_size,) + ref_y.shape)
+        return _sad_map_batch_impl(cur_y, ref_y, stride), True
+
+    fn.__doc__ = doc
+    return fn
+
+
+sad_map = _make_sad_map_public(
+    1,
     """Full ±16 SAD volume per MB: [nby, nbx, N_CAND] int32 with candidate
     k = (dy+R)*ND + (dx+R). Same padding/values as full_search, so a descent
-    over this map is bit-exact with per-candidate sad_at evaluation."""
-    return _sad_map_impl(cur_y, ref_y, 1)
+    over this map is bit-exact with per-candidate sad_at evaluation.""",
+)
 
-
-@jax.jit
-def sad_map_even(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+sad_map_even = _make_sad_map_public(
+    2,
     """Even-even ±16 SAD sublattice per MB: [nby, nbx, 17*17] int32 with
     candidate kE = ((dy+R)/2)*17 + (dx+R)/2 — every mv the large-diamond
-    loop can reach (ops/dispatch.py)."""
-    return _sad_map_impl(cur_y, ref_y, 2)
+    loop can reach (ops/dispatch.py).""",
+)
 
 
 def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
@@ -305,11 +465,11 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
     bpp = 128 // bs                 # blocks per 128-row panel
     assert tw % 128 == 0 and th % 8 == 0 and nr % 128 == 0
 
-    def selectors(dy_ref, dx_ref):
+    def selectors(dyv, dxv):
         """(RowSel [nr, wh] bf16, CS [wwa, nr] bf16) from per-tile mvs
-        delivered as [1, 1, 1, nblk] in block raster order."""
-        dyf = dy_ref[0, 0].astype(jnp.float32)  # [1, nblk]
-        dxf = dx_ref[0, 0].astype(jnp.float32)
+        delivered as [1, nblk] values in block raster order."""
+        dyf = dyv.astype(jnp.float32)  # [1, nblk]
+        dxf = dxv.astype(jnp.float32)
         srow = jax.lax.broadcasted_iota(jnp.int32, (nr, nblk), 0)
         bcol = jax.lax.broadcasted_iota(jnp.int32, (nr, nblk), 1)
         rep = (bcol == srow // bs).astype(jnp.float32)  # [nr, nblk] one-hot
@@ -338,9 +498,9 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
         cs = (ci == base + dxcols).astype(jnp.bfloat16)
         return rowsel, cs
 
-    def fetch_panels(win, dy_ref, dx_ref):
+    def fetch_panels(win, dyv, dxv):
         """Yield (panel index, [128, 128] f32) predictor panels."""
-        rowsel, cs = selectors(dy_ref, dx_ref)
+        rowsel, cs = selectors(dyv, dxv)
         t = jax.lax.dot_general(       # [wh, nr] f32, values <= 255
             win[:].astype(jnp.bfloat16), cs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -354,6 +514,18 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
             )
             yield p, out_p
 
+    def _mc_store(out_ref, lead, win, dyv, dxv):
+        for p, out_p in fetch_panels(win, dyv, dxv):
+            for k in range(bpp):
+                b = p * bpp + k
+                my, mx = b // tn, b % tn
+                blk = jax.lax.slice(
+                    out_p, (k * bs, k * bs), (k * bs + bs, k * bs + bs)
+                )
+                idx = lead + (slice(my * bs, (my + 1) * bs),
+                              slice(mx * bs, (mx + 1) * bs))
+                out_ref[idx] = blk.astype(jnp.int32)
+
     def mc_kernel(refpad_hbm, dy_ref, dx_ref, out_ref, win, sem):
         i, j = pl.program_id(0), pl.program_id(1)
         dma = pltpu.make_async_copy(
@@ -361,33 +533,34 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
         )
         dma.start()
         dma.wait()
-        for p, out_p in fetch_panels(win, dy_ref, dx_ref):
-            for k in range(bpp):
-                b = p * bpp + k
-                my, mx = b // tn, b % tn
-                blk = jax.lax.slice(
-                    out_p, (k * bs, k * bs), (k * bs + bs, k * bs + bs)
-                )
-                out_ref[my * bs : (my + 1) * bs, mx * bs : (mx + 1) * bs] = (
-                    blk.astype(jnp.int32)
-                )
+        _mc_store(out_ref, (), win, dy_ref[0, 0], dx_ref[0, 0])
 
-    def sad_body(cur_ref, dy_ref, dx_ref, out_ref, win):
+    def mc_kernel_g(refpad_hbm, dy_ref, dx_ref, out_ref, win, sem):
+        """GOP-batched: grid (G, gy, gx); see full-search kernel note."""
+        g, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        dma = pltpu.make_async_copy(
+            refpad_hbm.at[g, pl.ds(i * th, wh), pl.ds(j * tw, wwa)], win, sem
+        )
+        dma.start()
+        dma.wait()
+        _mc_store(out_ref, (0,), win, dy_ref[0, 0, 0], dx_ref[0, 0, 0])
+
+    def sad_body(cur, dyv, dxv, win):
         acc = jnp.zeros((tm, tn), jnp.int32)
-        for p, out_p in fetch_panels(win, dy_ref, dx_ref):
+        for p, out_p in fetch_panels(win, dyv, dxv):
             for k in range(bpp):
                 b = p * bpp + k
                 my, mx = b // tn, b % tn
                 blk = jax.lax.slice(
                     out_p, (k * bs, k * bs), (k * bs + bs, k * bs + bs)
                 ).astype(jnp.int32)
-                cblk = cur_ref[my * bs : (my + 1) * bs, mx * bs : (mx + 1) * bs]
+                cblk = cur[my * bs : (my + 1) * bs, mx * bs : (mx + 1) * bs]
                 onehot = (
                     (jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0) == my)
                     & (jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1) == mx)
                 ).astype(jnp.int32)
                 acc = acc + onehot * jnp.abs(cblk - blk).sum()
-        out_ref[0, 0] = acc
+        return acc
 
     def sad_kernel(refpad_hbm, cur_ref, dy_ref, dx_ref, out_ref, win, sem):
         i, j = pl.program_id(0), pl.program_id(1)
@@ -396,7 +569,18 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
         )
         dma.start()
         dma.wait()
-        sad_body(cur_ref, dy_ref, dx_ref, out_ref, win)
+        out_ref[0, 0] = sad_body(cur_ref[:], dy_ref[0, 0], dx_ref[0, 0], win)
+
+    def sad_kernel_g(refpad_hbm, cur_ref, dy_ref, dx_ref, out_ref, win, sem):
+        g, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        dma = pltpu.make_async_copy(
+            refpad_hbm.at[g, pl.ds(i * th, wh), pl.ds(j * tw, wwa)], win, sem
+        )
+        dma.start()
+        dma.wait()
+        out_ref[0, 0, 0] = sad_body(
+            cur_ref[0], dy_ref[0, 0, 0], dx_ref[0, 0, 0], win
+        )
 
     def sad_kernel_batched(refpad_hbm, cur_ref, dy_ref, dx_ref, out_ref, win, sem):
         """Candidate-batched variant: grid (gy, gx, K), K innermost so the
@@ -414,7 +598,7 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
             dma.start()
             dma.wait()
 
-        sad_body(cur_ref, dy_ref, dx_ref, out_ref, win)
+        out_ref[0, 0] = sad_body(cur_ref[:], dy_ref[0, 0], dx_ref[0, 0], win)
 
     def to_flat(a, gy, gx):
         """MB grid [gy, gx] -> [gy/tm, gx/tn, 1, nblk] raster-per-tile."""
@@ -539,15 +723,112 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
         out = out.transpose(0, 1, 3, 2, 4).reshape(kc, gy, gx)
         return out[:, :nby, :nbx]
 
-    @jax.jit
+    def _pads_g(cur_g, ref_g):
+        gn, h, w = cur_g.shape
+        nby, nbx = h // bs, w // bs
+        gy = -(-nby // tm) * tm
+        gx = -(-nbx // tn) * tn
+        hp, wp = gy * bs, gx * bs
+        cur_p = jnp.pad(cur_g, ((0, 0), (0, hp - h), (0, wp - w)))
+        ref_p = jnp.pad(ref_g, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
+        refpad = jnp.pad(
+            ref_p,
+            ((0, 0), (radius, wh - radius), (radius, wwa - tw - radius)),
+            mode="edge",
+        )
+        return cur_p, refpad, nby, nbx, gy, gx, hp, wp
+
+    def _to_flat_g(a, gn, gy, gx):
+        return (
+            a.reshape(gn, gy // tm, tm, gx // tn, tn)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(gn, gy // tm, gx // tn, 1, nblk)
+        )
+
+    def _flat_spec_g():
+        return pl.BlockSpec(
+            (1, 1, 1, 1, nblk), lambda g, i, j: (g, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def tile_call_g(kernel_g, cur_g, ref_g, dy_g, dx_g, out_is_plane):
+        """GOP-batched tile call: [G, ...] operands, grid (G, gy, gx)."""
+        gn = cur_g.shape[0]
+        cur_p, refpad, nby, nbx, gy, gx, hp, wp = _pads_g(cur_g, ref_g)
+        pad2 = ((0, 0), (0, gy - nby), (0, gx - nbx))
+        dy_p = _to_flat_g(jnp.pad(dy_g, pad2), gn, gy, gx)
+        dx_p = _to_flat_g(jnp.pad(dx_g, pad2), gn, gy, gx)
+
+        if out_is_plane:
+            out_spec = pl.BlockSpec(
+                (1, th, tw), lambda g, i, j: (g, i, j), memory_space=pltpu.VMEM
+            )
+            out_shape = jax.ShapeDtypeStruct((gn, hp, wp), jnp.int32)
+            in_specs = [pl.BlockSpec(memory_space=pl.ANY), _flat_spec_g(),
+                        _flat_spec_g()]
+            args = (refpad, dy_p, dx_p)
+        else:
+            out_spec = pl.BlockSpec(
+                (1, 1, 1, tm, tn), lambda g, i, j: (g, i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_shape = jax.ShapeDtypeStruct(
+                (gn, gy // tm, gx // tn, tm, tn), jnp.int32
+            )
+            in_specs = [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, th, tw), lambda g, i, j: (g, i, j),
+                             memory_space=pltpu.VMEM),
+                _flat_spec_g(),
+                _flat_spec_g(),
+            ]
+            args = (refpad, cur_p, dy_p, dx_p)
+
+        out = pl.pallas_call(
+            kernel_g,
+            grid=(gn, gy // tm, gx // tn),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((wh, wwa), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(*args)
+        if out_is_plane:
+            return out[:, : cur_g.shape[1], : cur_g.shape[2]]
+        return out.transpose(0, 1, 3, 2, 4).reshape(gn, gy, gx)[:, :nby, :nbx]
+
+    @jax.custom_batching.custom_vmap
     def sad_at(cur, ref, dy, dx):
         if dy.ndim == 3:
             return tile_call_batched(cur, ref, dy, dx)
         return tile_call(sad_kernel, cur, ref, dy, dx, False)
 
-    @jax.jit
+    @sad_at.def_vmap
+    def _sad_at_vmap(axis_size, in_batched, cur, ref, dy, dx):
+        if dy.ndim - int(in_batched[2]) == 3:
+            raise NotImplementedError(
+                "candidate-batched sad_at (hier refine) cannot nest under "
+                "the GOP batch; use search='full' or 'diamond' with "
+                "--gop-batch"
+            )
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+        cur, ref, dy, dx = (bc(x, b) for x, b in
+                            zip((cur, ref, dy, dx), in_batched))
+        return tile_call_g(sad_kernel_g, cur, ref, dy, dx, False), True
+
+    @jax.custom_batching.custom_vmap
     def mc_fetch(ref, dy, dx):
         return tile_call(mc_kernel, ref, ref, dy, dx, True)
+
+    @mc_fetch.def_vmap
+    def _mc_fetch_vmap(axis_size, in_batched, ref, dy, dx):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+        ref, dy, dx = (bc(x, b) for x, b in zip((ref, dy, dx), in_batched))
+        return tile_call_g(mc_kernel_g, ref, ref, dy, dx, True), True
 
     return sad_at, mc_fetch
 
