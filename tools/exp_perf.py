@@ -26,6 +26,21 @@ import numpy as np
 H, W, T, REPS = 1080, 1920, 8, 5
 
 
+
+def _fresh_fn(fn):
+    """A NEW function object wrapping fn: jax's jit executable cache keys
+    on the underlying callable, so re-jitting the SAME fn after patching
+    its module globals silently reuses the previous variant's traced
+    program (measured: an 'empty' and a 'real' variant with identical
+    shapes returned the same timing). A fresh wrapper forces a retrace."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        return fn(*a, **k)
+    wrapper.__wrapped__ = None  # break functools.wraps's identity hint
+    return wrapper
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -59,7 +74,8 @@ def main():
         # cache is keyed on shapes+statics, identical across variants, so
         # reusing it would silently time the baseline program under every
         # patch (ADVICE r2 medium finding).
-        jitted = jax.jit(encode_gop_jit.__wrapped__, static_argnames=static)
+        jitted = jax.jit(_fresh_fn(encode_gop_jit.__wrapped__),
+                         static_argnames=static)
         bw = 16 if "bw16" in name else 24
         kw = dict(search="full", rc="none", block_words=bw,
                   cap_words=entropy.capacity_words(n_mbs, 1024),
