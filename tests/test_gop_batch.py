@@ -94,3 +94,27 @@ def test_unroll_is_bit_identical(rng):
     b = gop_engine.encode_gop_jit(y, cb, cr, 26, **kw, unroll=2)
     assert np.array_equal(np.asarray(a["words"]), np.asarray(b["words"]))
     assert np.array_equal(np.asarray(a["bits"]), np.asarray(b["bits"]))
+
+
+def test_emit_chunks_matches_frame(rng):
+    """The host-muxed chunk emission (SURVEY.md 7.0 'host does bytes') is
+    byte-identical to the device-assembled frame path on every format/rc
+    it runs under; GopEngine.emit selects it."""
+    gops = _gops(rng)
+    for fmt in (1, 2):
+        cfg = EncoderConfig(width=W, height=H, gop_n=T, base_qp=26,
+                            search="full", format_version=fmt,
+                            rc="mb" if fmt == 2 else "none",
+                            target_kbps=300 if fmt == 2 else 0)
+        ref_eng = GopEngine(cfg)
+        ch_eng = GopEngine(cfg)
+        ch_eng.emit = "chunks"
+        for g, first in zip(gops, [0, T, 2 * T]):
+            a, _ = ref_eng.encode_gop(g, first)
+            b, _ = ch_eng.encode_gop(g, first)
+            assert [p.to_bytes() for p in a] == [p.to_bytes() for p in b]
+        # batched path too
+        a = ref_eng.encode_gops(gops, [0, T, 2 * T])
+        b = ch_eng.encode_gops(gops, [0, T, 2 * T])
+        for (ap, _), (bp, _) in zip(a, b):
+            assert [p.to_bytes() for p in ap] == [p.to_bytes() for p in bp]

@@ -373,20 +373,12 @@ def _dc_pred_left(levels: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(dc[..., :, :-1], ((0, 0), (1, 0)))
 
 
-def pack_frame_planes_v2(
-    levels_y8: jnp.ndarray,
-    levels_cb: jnp.ndarray,
-    levels_cr: jnp.ndarray,
-    qp_delta: jnp.ndarray,
-    is_p_frame,
-    is_inter: jnp.ndarray,
-    dy: jnp.ndarray,
-    dx: jnp.ndarray,
-    block_words: int,
-    n_words: int,
+def _frame_pieces_v2(
+    levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
+    dy, dx, block_words,
 ):
-    """pack_frame_planes for format v2 (SPEC.md §12). Bit-exact with the
-    golden v2 sequential writer (tests/test_format_v2.py)."""
+    """v2 twin of _frame_pieces: per-MB [8, W] word strings + bit counts
+    (header, Y00, Y01, Y10, Y11, Cb, Cr, empty)."""
     nby, nbx = qp_delta.shape
     n_mbs = nby * nbx
 
@@ -428,15 +420,36 @@ def pack_frame_planes_v2(
         axis=1,
     )
     mb_bits = piece_bits[:, :7].sum(axis=1)
+    return piece_words, piece_bits, mb_bits, ovf_h | ovf_y | ovf_cb | ovf_cr
 
+
+def pack_frame_planes_v2(
+    levels_y8: jnp.ndarray,
+    levels_cb: jnp.ndarray,
+    levels_cr: jnp.ndarray,
+    qp_delta: jnp.ndarray,
+    is_p_frame,
+    is_inter: jnp.ndarray,
+    dy: jnp.ndarray,
+    dx: jnp.ndarray,
+    block_words: int,
+    n_words: int,
+):
+    """pack_frame_planes for format v2 (SPEC.md §12). Bit-exact with the
+    golden v2 sequential writer (tests/test_format_v2.py)."""
+    nby, nbx = qp_delta.shape
+    n_mbs = nby * nbx
+    piece_words, piece_bits, mb_bits, ovf = _frame_pieces_v2(
+        levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
+        dy, dx, block_words,
+    )
     words, total_bits = tree_concat(
         piece_words.reshape(n_mbs * 8, block_words),
         piece_bits.reshape(n_mbs * 8),
         n_words,
     )
     ovf_f = total_bits > 32 * n_words
-    ovf = ovf_h | ovf_y | ovf_cb | ovf_cr | ovf_f
-    return words, total_bits, mb_bits.reshape(nby, nbx), ovf
+    return words, total_bits, mb_bits.reshape(nby, nbx), ovf | ovf_f
 
 
 def _frame_pieces(
@@ -557,6 +570,93 @@ def pack_frame_rows(
     )
     ovf_f = (row_bits > 32 * row_words).any()
     return words, row_bits, mb_bits.reshape(nby, nbx), ovf | ovf_f
+
+
+# ---------------------------------------------------------------------------
+# Chunk-emitting packs — the r3 production path for GOP-resident encode.
+#
+# The corrected DCE ablation (tools/ablate_dce_results.json) put the
+# device-side frame assembly (tree_concat) at ~5.2 of 10.5 ms/frame at
+# 1080p: each of its ~16 levels re-streams the whole capacity array through
+# HBM O(log width) times. The TPU-first fix follows SURVEY.md §7.0 "host
+# does bytes": the device merges pieces only up to fixed-size CHUNK strings
+# (a VMEM Pallas kernel, ops/pallas/pack.py; jnp tree_concat per chunk off
+# TPU — identical bytes either way since concatenation is associative), and
+# the HOST mux bit-concatenates the ~hundred chunk strings per frame — the
+# same shift-or glue the tile-sharded path has always used. Frame-level
+# capacity overflow disappears: chunk capacity is the exact worst case.
+# ---------------------------------------------------------------------------
+
+
+def chunk_capacity(n_pieces: int, block_words: int) -> tuple[int, int, int]:
+    """(n_chunk_strings, pieces_per_half_chunk, words_per_chunk_string)
+    for a frame of n_pieces piece strings of block_words words."""
+    from ..ops.pallas import pack as ppack
+
+    k = ppack.pick_chunk_k(n_pieces, block_words)
+    h = max(k // 2, 1)
+    n2 = -(-n_pieces // k) * k
+    return n2 // h, h, h * block_words + 1
+
+
+def _pieces_to_chunks(piece_words: jnp.ndarray, piece_bits: jnp.ndarray,
+                      block_words: int):
+    """[n, W] piece strings -> ([C, cw] chunk strings, [C] chunk bits)."""
+    from ..ops import dispatch
+
+    n, w = piece_words.shape
+    c, h, cw = chunk_capacity(n, w)
+    n2 = c * h
+    if n2 != n:
+        piece_words = jnp.pad(piece_words, ((0, n2 - n), (0, 0)))
+        piece_bits = jnp.pad(piece_bits, (0, n2 - n))
+    if dispatch.use_pallas() and h >= 8:
+        from ..ops.pallas import pack as ppack
+
+        return ppack.chunk_merge(piece_words, piece_bits, 2 * h)
+    cwords, cbits = jax.vmap(
+        lambda b, l: tree_concat(b, l, cw)
+    )(piece_words.reshape(c, h, w), piece_bits.reshape(c, h))
+    return cwords, cbits
+
+
+def pack_frame_chunks(
+    levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
+    dy, dx, block_words: int,
+):
+    """v1 pack emitting chunk strings: (chunk_words [C, cw], chunk_bits [C],
+    mb_bits [nby, nbx], ovf). The frame payload is the host bit-concat of
+    the chunk strings in order (bit-exact with pack_frame_planes'
+    device-assembled stream)."""
+    nby, nbx = qp_delta.shape
+    n_mbs = nby * nbx
+    piece_words, piece_bits, mb_bits, ovf = _frame_pieces(
+        levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
+        dy, dx, block_words,
+    )
+    cwords, cbits = _pieces_to_chunks(
+        piece_words.reshape(n_mbs * 8, block_words),
+        piece_bits.reshape(n_mbs * 8), block_words,
+    )
+    return cwords, cbits, mb_bits.reshape(nby, nbx), ovf
+
+
+def pack_frame_chunks_v2(
+    levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
+    dy, dx, block_words: int,
+):
+    """v2/v3-syntax twin of pack_frame_chunks."""
+    nby, nbx = qp_delta.shape
+    n_mbs = nby * nbx
+    piece_words, piece_bits, mb_bits, ovf = _frame_pieces_v2(
+        levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
+        dy, dx, block_words,
+    )
+    cwords, cbits = _pieces_to_chunks(
+        piece_words.reshape(n_mbs * 8, block_words),
+        piece_bits.reshape(n_mbs * 8), block_words,
+    )
+    return cwords, cbits, mb_bits.reshape(nby, nbx), ovf
 
 
 def _shift_words_right(x: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -113,9 +113,15 @@ def encode_frame_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
     *, is_p: bool, search: str, rc: str, block_words: int, cap_words: int,
     fmt: int = 1, cqpo: int = 0, qbias: int = 8, qmat: bool = False,
-    islice: int = 0,
+    islice: int = 0, emit: str = "frame",
 ):
     """One frame, traceable; is_p/search/rc/fmt/cqpo/qbias/qmat are static.
+
+    emit="frame": the device assembles the whole frame payload
+    (tree_concat) — the pre-r3 behavior, kept for the sharded/ring paths.
+    emit="chunks": the device stops at fixed-size chunk strings
+    (entropy.pack_frame_chunks*) and the host mux concatenates them —
+    removes the ~5.2 ms/frame device-side assembly (SURVEY.md §7.0).
 
     fmt=2 selects the SPEC.md §12 syntax (left-MV prediction, DC DPCM,
     chroma QP offset); fmt=3 adds I-frame vertical intra prediction (a
@@ -146,7 +152,18 @@ def encode_frame_traced(
         pred_cb = jnp.full_like(cur_cb, 128)
         pred_cr = jnp.full_like(cur_cr, 128)
 
-    pack = entropy.pack_frame_planes_v2 if fmt >= 2 else entropy.pack_frame_planes
+    if emit == "chunks":
+        packc = (entropy.pack_frame_chunks_v2 if fmt >= 2
+                 else entropy.pack_frame_chunks)
+
+        def pack(lz_y, lz_cb, lz_cr, qpd, p, inter, dy_, dx_, bw, cap):
+            cw_, cb_, mb_b, ovf = packc(
+                lz_y, lz_cb, lz_cr, qpd, p, inter, dy_, dx_, bw
+            )
+            return (cw_, cb_), cb_.sum().astype(jnp.int32), mb_b, ovf
+    else:
+        pack = (entropy.pack_frame_planes_v2 if fmt >= 2
+                else entropy.pack_frame_planes)
 
     def code(qps):
         """Levels + recon at the given per-MB qps: the normal predicted
@@ -198,8 +215,7 @@ def encode_frame_traced(
         dy, dx, block_words, cap_words,
     )
     sse = jnp.stack([_sse(cur_y, rec_y), _sse(cur_cb, rec_cb), _sse(cur_cr, rec_cr)])
-    return dict(
-        words=words,
+    out = dict(
         bits=total_bits,
         ovf=ovf_p,
         n_inter=is_inter.sum().astype(jnp.int32),
@@ -208,19 +224,25 @@ def encode_frame_traced(
         rec_cr=rec_cr,
         sse=sse,
     )
+    if emit == "chunks":
+        out["words"], out["cbits"] = words
+    else:
+        out["words"] = words
+    return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("search", "rc", "block_words", "cap_words", "target_bits",
                      "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "unroll",
-                     "islice"),
+                     "islice", "emit"),
 )
 def encode_gop_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, search: str, rc: str, block_words: int, cap_words: int,
     target_bits: int, fmt: int = 1, cqpo: int = 0, qbias: int = 8,
     vbv_bits: int = 0, qmat: bool = False, unroll: int = 1, islice: int = 0,
+    emit: str = "frame",
 ):
     """Encode a [T, ...] uint8 GOP on device. Returns stacked per-frame
     outputs (words/bits/ovf/qp/n_inter/sse). unroll feeds lax.scan's
@@ -236,7 +258,7 @@ def encode_gop_jit(
 
         kw = dict(search=search, rc=rc, block_words=block_words,
                   cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias,
-                  qmat=qmat, islice=islice)
+                  qmat=qmat, islice=islice, emit=emit)
         out = jax.lax.cond(
             idx > 0,
             lambda: encode_frame_traced(
@@ -251,11 +273,13 @@ def encode_gop_jit(
             rc, target_bits, vbv_bits, qp, fullness, out["bits"]
         )
         carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp, fullness)
-        emit = dict(
+        emitted = dict(
             words=out["words"], bits=out["bits"], ovf=out["ovf"],
             n_inter=out["n_inter"], qp=qp_used, sse=out["sse"],
         )
-        return carry, emit
+        if emit == "chunks":
+            emitted["cbits"] = out["cbits"]
+        return carry, emitted
 
     init = (
         jnp.zeros(y_u8.shape[1:], jnp.int32),
@@ -275,13 +299,14 @@ def encode_gop_jit(
     jax.jit,
     static_argnames=("search", "rc", "block_words", "cap_words", "target_bits",
                      "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "unroll",
-                     "islice"),
+                     "islice", "emit"),
 )
 def encode_gop_batch_jit(
     y_u8, cb_u8, cr_u8, base_qp,
     *, search: str, rc: str, block_words: int, cap_words: int,
     target_bits: int, fmt: int = 1, cqpo: int = 0, qbias: int = 8,
     vbv_bits: int = 0, qmat: bool = False, unroll: int = 1, islice: int = 0,
+    emit: str = "frame",
 ):
     """Encode G independent GOPs in lockstep on ONE chip: inputs [G, T, ...]
     uint8, one lax.scan over T whose body is vmapped over the GOP axis.
@@ -300,7 +325,7 @@ def encode_gop_batch_jit(
     g, t_frames = y_u8.shape[0], y_u8.shape[1]
     kw = dict(search=search, rc=rc, block_words=block_words,
               cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias, qmat=qmat,
-              islice=islice)
+              islice=islice, emit=emit)
 
     def enc(is_p):
         def one(cy, ccb, ccr, ry, rcb, rcr, qp):
@@ -327,11 +352,13 @@ def encode_gop_batch_jit(
             rc, target_bits, vbv_bits, qp, fullness, out["bits"]
         )
         carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp, fullness)
-        emit = dict(
+        emitted = dict(
             words=out["words"], bits=out["bits"], ovf=out["ovf"],
             n_inter=out["n_inter"], qp=qp_used, sse=out["sse"],
         )
-        return carry, emit
+        if emit == "chunks":
+            emitted["cbits"] = out["cbits"]
+        return carry, emitted
 
     qp0 = jnp.broadcast_to(jnp.asarray(base_qp, jnp.int32), (g,))
     init = (
@@ -367,6 +394,14 @@ class GopEngine:
     either way, SPEC.md §11 invariant 2).
     """
 
+    # Device-side frame assembly vs host-muxed chunk strings: both are
+    # bit-exact (tests/test_gop_engine.py runs the engine under each); the
+    # measured 1080p rates are equal within noise (tools/
+    # check_pack_results.json — the VMEM chunk merge pays in VPU shuffles
+    # what it saves in HBM), so the simpler frame path stays the default.
+    # A fused symbols+pack kernel is the remaining pack lever (ROADMAP).
+    emit = "frame"
+
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
 
@@ -386,6 +421,7 @@ class GopEngine:
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
             qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
             qmat=cfg.quant_matrix, islice=cfg.intra_slice_mbrows,
+            emit=self.emit,
         )
 
     def encode_gop_start(
@@ -425,25 +461,43 @@ class GopEngine:
         qps = np.asarray(outs["qp"])
         n_inter = np.asarray(outs["n_inter"])
         sse = np.asarray(outs["sse"])
-
-        # one bucketed slice + uint8-bitcast download for the whole GOP
-        maxw = int(bits.max() + 31) // 32 if len(bits) else 0
-        bw = min(_bucket(max(maxw, 1)), outs["words"].shape[1])
-        words_u8 = jax.lax.bitcast_convert_type(
-            outs["words"][:, :bw], jnp.uint8
-        )
-        words_host = np.ascontiguousarray(np.asarray(words_u8))  # [T, bw, 4] LE bytes
+        chunked = "cbits" in outs
+        if chunked:
+            cbits = np.asarray(outs["cbits"])      # [T, C]
+            maxw = int((cbits.max() + 31) // 32) if cbits.size else 0
+            bw = min(_bucket(max(maxw, 1)), outs["words"].shape[2])
+            words_u8 = jax.lax.bitcast_convert_type(
+                outs["words"][:, :, :bw], jnp.uint8
+            )
+            words_u32 = np.ascontiguousarray(
+                np.asarray(words_u8)).view(np.uint32)[..., 0]  # [T, C, bw]
+        else:
+            # one bucketed slice + uint8-bitcast download for the whole GOP
+            maxw = int(bits.max() + 31) // 32 if len(bits) else 0
+            bw = min(_bucket(max(maxw, 1)), outs["words"].shape[1])
+            words_u8 = jax.lax.bitcast_convert_type(
+                outs["words"][:, :bw], jnp.uint8
+            )
+            words_host = np.ascontiguousarray(np.asarray(words_u8))
         ms_total = (time.perf_counter() - t0) * 1e3
 
         packets, stats = [], []
         n_mbs = (frames[0].y.shape[0] // spec.MB) * (frames[0].y.shape[1] // spec.MB)
         npix_y = frames[0].y.size
         npix_c = frames[0].cb.size
+        from ..parallel.tiles import bit_concat
         for t in range(len(frames)):
-            nw = (int(bits[t]) + 31) // 32
-            payload = (
-                words_host[t, :nw].view(np.uint32).byteswap().tobytes()
-            )
+            if chunked:
+                payload, nbits = bit_concat(
+                    [(words_u32[t, c], int(cbits[t, c]))
+                     for c in range(cbits.shape[1]) if cbits[t, c]]
+                )
+                assert nbits == int(bits[t])
+            else:
+                nw = (int(bits[t]) + 31) // 32
+                payload = (
+                    words_host[t, :nw].view(np.uint32).byteswap().tobytes()
+                )
             ftype = 0 if t == 0 else 1
             packets.append(
                 FramePacket(first_index + t, ftype, int(qps[t]), int(bits[t]), payload)
@@ -492,6 +546,7 @@ class GopEngine:
             fmt=cfg.format_version, cqpo=cfg.chroma_qp_offset,
             qbias=cfg.quant_bias, vbv_bits=cfg.vbv_bits(),
             qmat=cfg.quant_matrix, islice=cfg.intra_slice_mbrows,
+            emit=self.emit,
         )
 
     def encode_gops_start(
@@ -542,13 +597,23 @@ class GopEngine:
         qps = np.asarray(outs["qp"])
         n_inter = np.asarray(outs["n_inter"])
         sse = np.asarray(outs["sse"])          # [T, G, 3]
-
-        maxw = int(bits.max() + 31) // 32 if bits.size else 0
-        bw = min(_bucket(max(maxw, 1)), outs["words"].shape[2])
-        words_u8 = jax.lax.bitcast_convert_type(
-            outs["words"][:, :, :bw], jnp.uint8
-        )
-        words_host = np.ascontiguousarray(np.asarray(words_u8))  # [T, G, bw, 4]
+        chunked = "cbits" in outs
+        if chunked:
+            cbits = np.asarray(outs["cbits"])  # [T, G, C]
+            maxw = int((cbits.max() + 31) // 32) if cbits.size else 0
+            bw = min(_bucket(max(maxw, 1)), outs["words"].shape[3])
+            words_u8 = jax.lax.bitcast_convert_type(
+                outs["words"][:, :, :, :bw], jnp.uint8
+            )
+            words_u32 = np.ascontiguousarray(
+                np.asarray(words_u8)).view(np.uint32)[..., 0]
+        else:
+            maxw = int(bits.max() + 31) // 32 if bits.size else 0
+            bw = min(_bucket(max(maxw, 1)), outs["words"].shape[2])
+            words_u8 = jax.lax.bitcast_convert_type(
+                outs["words"][:, :, :bw], jnp.uint8
+            )
+            words_host = np.ascontiguousarray(np.asarray(words_u8))
         ms_total = (time.perf_counter() - handle["t0"]) * 1e3
         n_frames_total = sum(len(g) for g in gops)
 
@@ -556,13 +621,22 @@ class GopEngine:
         f0 = gops[0][0]
         n_mbs = (f0.y.shape[0] // spec.MB) * (f0.y.shape[1] // spec.MB)
         npix_y, npix_c = f0.y.size, f0.cb.size
+        from ..parallel.tiles import bit_concat
         for gi, (frames, first_index) in enumerate(zip(gops, first_indices)):
             packets, stats = [], []
             for t in range(len(frames)):
-                nw = (int(bits[t, gi]) + 31) // 32
-                payload = (
-                    words_host[t, gi, :nw].view(np.uint32).byteswap().tobytes()
-                )
+                if chunked:
+                    payload, nbits = bit_concat(
+                        [(words_u32[t, gi, c], int(cbits[t, gi, c]))
+                         for c in range(cbits.shape[2]) if cbits[t, gi, c]]
+                    )
+                    assert nbits == int(bits[t, gi])
+                else:
+                    nw = (int(bits[t, gi]) + 31) // 32
+                    payload = (
+                        words_host[t, gi, :nw].view(np.uint32)
+                        .byteswap().tobytes()
+                    )
                 ftype = 0 if t == 0 else 1
                 packets.append(
                     FramePacket(first_index + t, ftype, int(qps[t, gi]),
