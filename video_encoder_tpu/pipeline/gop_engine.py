@@ -31,7 +31,14 @@ from ..utils.metrics import FrameStats
 
 def _block_words_for_qp(qp: int) -> int:
     """Per-8x8-block word budget for the blocked pack (overflow -> exact
-    worst-case rerun); finer quantizers keep more coefficients."""
+    worst-case rerun); finer quantizers keep more coefficients.
+
+    qp>=28 runs at 16 words (512 bits/block): measured +10% fps at 1080p
+    with zero overflow on the bench content (tools/exp_perf_results.json
+    bw16 99.0 vs base 90.3 fps); an overflowing GOP still re-encodes
+    bit-exactly at worst case."""
+    if qp >= 28:
+        return 16
     if qp >= 20:
         return entropy.BLOCK_WORDS_DEFAULT  # 24 words = 768 bits/block
     if qp >= 14:
