@@ -35,22 +35,23 @@ def device_fps(w, h, search, t_frames, reps):
     from video_encoder_tpu.codec import entropy, spec
     from video_encoder_tpu.pipeline.gop_engine import encode_gop_jit
 
+    from video_encoder_tpu.pipeline.gop_engine import _block_words_for_qp
+
     hp = spec.ceil_to(h, 16)
     y, cb, cr = synth_clip(t_frames, hp, w)
     yd, cbd, crd = jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)
     n_mbs = (hp // 16) * (w // 16)
     kw = dict(search=search, rc="none",
-              block_words=entropy.BLOCK_WORDS_DEFAULT,
+              block_words=_block_words_for_qp(30),  # the production budget
               cap_words=entropy.capacity_words(n_mbs, 1024), target_bits=0)
     outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
-    jax.block_until_ready(outs)
+    np.asarray(outs["bits"])  # host fetch: block_until_ready lies on axon
     ovf = bool(np.asarray(outs["ovf"]).any())
     t0 = time.perf_counter()
     for _ in range(reps):
         outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
-        jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / reps
     bits = np.asarray(outs["bits"]).astype(np.int64)
+    dt = (time.perf_counter() - t0) / reps
     return t_frames / dt, ovf, float(bits.mean() / 1000.0)
 
 

@@ -58,6 +58,14 @@ def cmd_encode(a) -> int:
     else:  # "gop" — the production GOP-resident path
         engine = None
 
+    if a.search == "hier":
+        # honest signposting (BASELINE.md): hier exists for parity with the
+        # reference's fast-search family, but on TPU it is slower AND
+        # costs bitrate vs full search — it is never the right default
+        print("note: --search hier is dominated on TPU (44 vs 99 fps at "
+              "1080p, worse RD — BASELINE.md); use full unless comparing "
+              "search modes", file=sys.stderr)
+
     # validate two-pass preconditions BEFORE truncating the output file
     if a.two_pass:
         import dataclasses

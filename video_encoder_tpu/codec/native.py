@@ -174,7 +174,12 @@ def parse_gop_planes(
     inter = np.zeros((t_frames, n), dtype=np.uint8)
     qps = np.zeros((t_frames, n), dtype=np.int32)
     if nthreads <= 0:
-        nthreads = min(t_frames, os.cpu_count() or 1)
+        # the combined decode path is parse-bound (BASELINE.md decode
+        # table), so the thread count is the e2e throughput lever;
+        # TVC_PARSE_THREADS overrides the all-cores default
+        nthreads = int(os.environ.get("TVC_PARSE_THREADS", 0)) or min(
+            t_frames, os.cpu_count() or 1
+        )
     rc = lib.tvc_parse_gop_planes(
         blob,
         offs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
