@@ -1077,6 +1077,7 @@ int main(int argc, char** argv) {
     size_t off = 24;
     int islice = 0;
     if (version >= 3) {  // §13.3 header extension word
+      if (sz < 28) { fprintf(stderr, "truncated v3 header\n"); return 1; }
       islice = (int)(get_le32(&data[24]) & 0xFFFF);
       off = 28;
     }

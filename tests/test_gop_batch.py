@@ -58,7 +58,7 @@ def test_batch_matches_sequential_formats(rng, fmt, qmat):
     _assert_batch_equals_sequential(cfg, _gops(rng))
 
 
-@pytest.mark.parametrize("search", ["diamond", "hier"])
+@pytest.mark.parametrize("search", ["diamond"])
 def test_batch_matches_sequential_search(rng, search):
     cfg = EncoderConfig(width=W, height=H, gop_n=T, base_qp=26, search=search)
     _assert_batch_equals_sequential(cfg, _gops(rng))

@@ -82,8 +82,12 @@ def _clip(rng, w, h, n):
     return frames
 
 
-def test_hier_stream_golden_vs_gop_engine(rng):
-    from video_encoder_tpu.codec.bitstream import OrderedMux
+def test_hier_golden_roundtrip_and_device_rejection(rng):
+    """hier is golden/oracle-only since r4 (measured dominated on TPU —
+    BASELINE.md): golden streams still encode+decode; the device engines
+    must reject the mode with a clear ValueError, and the CLI must reject
+    it at argument validation (not at trace time)."""
+    from video_encoder_tpu import cli
     from video_encoder_tpu.codec.golden import Frame
     from video_encoder_tpu.pipeline.gop_engine import GopEngine
 
@@ -92,15 +96,17 @@ def test_hier_stream_golden_vs_gop_engine(rng):
     cfg = EncoderConfig(width=w, height=h, gop_n=5, base_qp=26, search="hier")
     buf1 = io.BytesIO()
     encode_clip(cfg, iter(frames), buf1, n, engine=GoldenEngine())
-    eng = GopEngine(cfg)
-    buf2 = io.BytesIO()
-    mux = OrderedMux(buf2, cfg, n)
-    packets, _ = eng.encode_gop([Frame.from_planes(*f) for f in frames], 0)
-    for p in packets:
-        mux.push(p)
-    assert buf1.getvalue() == buf2.getvalue()
     info, it = decode_clip(io.BytesIO(buf1.getvalue()))
     assert len(list(it)) == n
+
+    with pytest.raises(ValueError, match="hier"):
+        GopEngine(cfg)
+
+    # CLI rejects --search hier with the device engines up front, including
+    # the --gop-batch combination that used to die at trace time
+    rc = cli.main(["encode", "-i", "x.yuv", "-o", "y.tvc", "-W", "64",
+                   "-H", "48", "--search", "hier", "--gop-batch", "2"])
+    assert rc == 2
 
 
 def test_hier_oracle_equality(rng, tmp_path):

@@ -65,19 +65,6 @@ def test_dispatch_diamond_odd_grids(rng, h, w):
     assert all(bool(jnp.array_equal(a, b)) for a, b in zip(g, p))
 
 
-@pytest.mark.parametrize("h,w", [(368, 640), (144, 208)])
-def test_dispatch_hier_odd_grids(rng, h, w):
-    """Production hier (einsum coarse + sad_at_mv refine) vs jnp reference."""
-    from video_encoder_tpu.ops import dispatch
-
-    cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
-    ref = jnp.asarray(
-        np.clip(np.roll(np.asarray(cur), (3, -5), (0, 1))
-                + rng.integers(-6, 7, (h, w)), 0, 255), jnp.int32)
-    g = motion.hier_search(cur, ref)
-    p = jax.jit(dispatch.hier_search)(cur, ref)
-    assert all(bool(jnp.array_equal(a, b)) for a, b in zip(g, p))
-
 @pytest.mark.parametrize("h,w,qbias", [(368, 640, 8), (144, 208, 8),
                                        (184, 320, 6), (1088, 1920, 8)])
 def test_code_plane_kernel(rng, h, w, qbias):
@@ -103,3 +90,35 @@ def test_code_plane_kernel(rng, h, w, qbias):
         dispatch.force(None)
     assert jnp.array_equal(lz_w, lz_g)
     assert jnp.array_equal(rec_w, rec_g)
+
+
+def test_chunk_merge_matches_tree_concat(rng):
+    """VMEM chunk-merge kernel (ops/pallas/pack.py) vs entropy.tree_concat
+    on random piece strings — the bit-exactness the pack.py docstring
+    claims (ADVICE r3 item 2)."""
+    from video_encoder_tpu.codec import entropy
+    from video_encoder_tpu.ops.pallas import pack as ppack
+
+    n, w = 256, 8
+    k = 32  # pieces per chunk (kernel emits two half-chunk strings)
+    bits = rng.integers(0, 32 * w + 1, n).astype(np.int32)
+    words = np.zeros((n, w), np.uint32)
+    for i in range(n):
+        nwords = (int(bits[i]) + 31) // 32
+        vals = rng.integers(0, 2**32, nwords, dtype=np.uint64).astype(np.uint32)
+        if nwords:
+            tail = int(bits[i]) & 31
+            if tail:
+                vals[-1] &= np.uint32(0xFFFFFFFF) << (32 - tail)
+        words[i, :nwords] = vals
+
+    cw, cb = ppack.chunk_merge(jnp.asarray(words), jnp.asarray(bits), k)
+    cw, cb = np.asarray(cw), np.asarray(cb)
+    h = k // 2
+    for c in range(n // h):
+        want_w, want_b = entropy.tree_concat(
+            jnp.asarray(words[c * h:(c + 1) * h]),
+            jnp.asarray(bits[c * h:(c + 1) * h]), cw.shape[1],
+        )
+        assert int(want_b) == int(cb[c])
+        assert np.array_equal(np.asarray(want_w), cw[c])

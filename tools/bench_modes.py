@@ -1,4 +1,4 @@
-"""Quick per-mode 1080p encode rate on the real chip (full/diamond/hier).
+"""Quick per-mode 1080p encode rate on the real chip (full/diamond; hier retired r4).
 
 Same steady-state methodology as bench.py device_fps (upload once, loop
 the GOP program, sync with one host fetch); fills the BASELINE.md per-mode
@@ -32,7 +32,7 @@ def main():
     yd, cbd, crd = jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)
 
     rows = {}
-    for search in sys.argv[1:] or ("full", "diamond", "hier"):
+    for search in sys.argv[1:] or ("full", "diamond"):
         kw = dict(
             search=search, rc="none", block_words=_block_words_for_qp(30),
             cap_words=entropy.capacity_words(n_mbs, 1024), target_bits=0,

@@ -127,7 +127,7 @@ def main():
         if a.res and name != a.res:
             continue
         row = {"resolution": name}
-        for search in ("full", "diamond", "hier"):
+        for search in ("full", "diamond"):
             fps, ovf, kbits = device_fps(w, h, search, t_frames, reps)
             row[f"tpu_{search}_fps"] = round(fps, 2)
             if ovf:

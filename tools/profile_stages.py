@@ -69,7 +69,6 @@ def main():
     def rows():
         yield "full_search", lambda k: dispatch.full_search(cur + (k & 1), ref)
         yield "diamond_search", lambda k: dispatch.diamond_search(cur + (k & 1), ref)
-        yield "hier_search", lambda k: dispatch.hier_search(cur + (k & 1), ref)
         yield "intra_cost", lambda k: motion.intra_cost_and_dc(cur + (k & 1))
 
         dy, dx, _ = jax.jit(dispatch.full_search)(cur, ref)

@@ -73,7 +73,7 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             out = json.load(f)
-    searches = ("full", "diamond", "hier") if a.search == "all" else (a.search,)
+    searches = ("full", "diamond") if a.search == "all" else (a.search,)
     for search in searches:
         # (fmt, quant_bias) variants: v1/v2 midpoint curves are the
         # reference-parity contract; the deadzone curve (quant_bias=5)

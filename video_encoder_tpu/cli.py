@@ -28,6 +28,16 @@ def _add_dims(p):
 
 
 def cmd_encode(a) -> int:
+    if a.search == "hier" and a.engine != "golden":
+        # hier was retired from the device engines in r4: measured strictly
+        # dominated on TPU (44 vs 99 fps at 1080p AND worse RD at every qp
+        # — BASELINE.md). It remains reproducible via the host-side golden
+        # model and the C++ oracle (SPEC.md §9).
+        print("error: --search hier is golden/oracle-only (retired from "
+              "the device engines: slower AND worse RD than full on TPU — "
+              "BASELINE.md); use --search full, or --engine golden to "
+              "reproduce hier streams", file=sys.stderr)
+        return 2
     w, h, fps, frames = yuv.open_clip(a.input, a.width, a.height)
     cfg = EncoderConfig(
         width=w, height=h, gop_n=a.gop, base_qp=a.qp, search=a.search,
@@ -57,14 +67,6 @@ def cmd_encode(a) -> int:
         engine = DeviceEngine()
     else:  # "gop" — the production GOP-resident path
         engine = None
-
-    if a.search == "hier":
-        # honest signposting (BASELINE.md): hier exists for parity with the
-        # reference's fast-search family, but on TPU it is slower AND
-        # costs bitrate vs full search — it is never the right default
-        print("note: --search hier is dominated on TPU (44 vs 99 fps at "
-              "1080p, worse RD — BASELINE.md); use full unless comparing "
-              "search modes", file=sys.stderr)
 
     # validate two-pass preconditions BEFORE truncating the output file
     if a.two_pass:
@@ -401,22 +403,44 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", os.environ["TVC_PLATFORM"])
         if os.environ["TVC_PLATFORM"] == "cpu":
             # --devices N on the CPU platform: make a fake N-device mesh
-            # (SURVEY.md §4.4) before the backend initializes
+            # (SURVEY.md §4.4) before the backend initializes. Accepts both
+            # '--devices N' and '--devices=N' argument forms.
             args_l = list(argv) if argv is not None else sys.argv[1:]
-            for flag in ("--devices", "--tile"):
-                if flag in args_l:
-                    try:
-                        n = int(args_l[args_l.index("--devices") + 1]) if "--devices" in args_l else 0
-                        t = int(args_l[args_l.index("--tile") + 1]) if "--tile" in args_l else 1
-                        need = n if n else t  # --devices is the mesh total
-                    except (ValueError, IndexError):
-                        break
-                    flags = os.environ.get("XLA_FLAGS", "")
-                    if "xla_force_host_platform_device_count" not in flags:
-                        os.environ["XLA_FLAGS"] = (
-                            flags + f" --xla_force_host_platform_device_count={max(need,1)}"
-                        ).strip()
-                    break
+
+            def _flag_val(name: str, default: int) -> int:
+                for i, arg in enumerate(args_l):
+                    if arg == name and i + 1 < len(args_l):
+                        try:
+                            return int(args_l[i + 1])
+                        except ValueError:
+                            return default
+                    if arg.startswith(name + "="):
+                        try:
+                            return int(arg.split("=", 1)[1])
+                        except ValueError:
+                            return default
+                return default
+
+            n = _flag_val("--devices", 0)
+            t = _flag_val("--tile", 1)
+            need = n if n else t  # --devices is the mesh total
+            if need > 1:
+                flags = os.environ.get("XLA_FLAGS", "")
+                if "xla_force_host_platform_device_count" not in flags:
+                    os.environ["XLA_FLAGS"] = (
+                        flags + f" --xla_force_host_platform_device_count={need}"
+                    ).strip()
+                # XLA_FLAGS is read at backend init: if the backend already
+                # exists in-process with fewer devices, the flag is a no-op
+                # and the mesh build below would fail confusingly.
+                import jax._src.xla_bridge as xb
+
+                if getattr(xb, "_backends", None) and len(jax.devices()) < need:
+                    print(
+                        f"warning: JAX backend already initialized with "
+                        f"{len(jax.devices())} device(s) < {need} requested; "
+                        "set XLA_FLAGS=--xla_force_host_platform_device_count"
+                        f"={need} before starting Python", file=sys.stderr)
     ap = argparse.ArgumentParser(prog="video_encoder_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -97,26 +97,6 @@ def code_plane(cur, pred, q_blk, qbias: int = 8, qmat: bool = False):
     return lz, rec
 
 
-def hier_search(cur_y, ref_y):
-    """Hierarchical coarse+refine search. The coarse quarter-res sweep is
-    batched jnp (one-hot matmul reductions) either way; on TPU each refine
-    step's 25 candidate mv fields evaluate in ONE candidate-batched Pallas
-    pass (grid (gy, gx, 25) with the reference window DMA'd once per tile
-    and reused across candidates) — r1's 50 per-candidate dispatches were
-    ~15 ms/frame at 1080p, dominated by launch overhead."""
-    from . import motion
-
-    if use_pallas():
-        from .pallas import sad as psad
-
-        def refine(dy, dx):
-            return psad.sad_at_mv(cur_y, ref_y, dy, dx)
-
-        refine.batched = True
-        return motion.hier_search(cur_y, ref_y, refine)
-    return motion.hier_search(cur_y, ref_y)
-
-
 def diamond_search(cur_y, ref_y):
     """Diamond search: map-descent on TPU (one Pallas pass builds the full
     ±16 SAD volume on the MXU, then the spec's masked descent runs as

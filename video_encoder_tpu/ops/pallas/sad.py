@@ -582,24 +582,6 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
             cur_ref[0], dy_ref[0, 0, 0], dx_ref[0, 0, 0], win
         )
 
-    def sad_kernel_batched(refpad_hbm, cur_ref, dy_ref, dx_ref, out_ref, win, sem):
-        """Candidate-batched variant: grid (gy, gx, K), K innermost so the
-        window scratch persists across a tile's K candidate fields — the
-        DMA runs once per tile (at k == 0), the K selector/gather passes
-        reuse it. Turns the hier refine's 25 per-candidate dispatches into
-        one kernel launch (VERDICT r1 next-step #5)."""
-        i, j = pl.program_id(0), pl.program_id(1)
-
-        @pl.when(pl.program_id(2) == 0)
-        def _():
-            dma = pltpu.make_async_copy(
-                refpad_hbm.at[pl.ds(i * th, wh), pl.ds(j * tw, wwa)], win, sem
-            )
-            dma.start()
-            dma.wait()
-
-        out_ref[0, 0] = sad_body(cur_ref[:], dy_ref[0, 0], dx_ref[0, 0], win)
-
     def to_flat(a, gy, gx):
         """MB grid [gy, gx] -> [gy/tm, gx/tn, 1, nblk] raster-per-tile."""
         return (
@@ -666,62 +648,6 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
         if out_is_plane:
             return out[:h, :w]
         return out.transpose(0, 2, 1, 3).reshape(gy, gx)[:nby, :nbx]
-
-    def tile_call_batched(cur_y, ref_y, dy, dx):
-        """dy/dx: [K, nby, nbx] candidate mv fields -> SADs [K, nby, nbx]."""
-        kc = dy.shape[0]
-        h, w = cur_y.shape
-        nby, nbx = h // bs, w // bs
-        gy = -(-nby // tm) * tm
-        gx = -(-nbx // tn) * tn
-        hp, wp = gy * bs, gx * bs
-        cur_p = jnp.pad(cur_y, ((0, hp - h), (0, wp - w)))
-        ref_p = jnp.pad(ref_y, ((0, hp - h), (0, wp - w)), mode="edge")
-        refpad = jnp.pad(
-            ref_p,
-            ((radius, wh - radius), (radius, wwa - tw - radius)),
-            mode="edge",
-        )
-        # fold K into the leading block-grid dim so kernel-side ref shapes
-        # stay identical to the unbatched case: row k*(gy//tm)+i holds
-        # candidate k's mv field for tile row i
-        pad2 = ((0, 0), (0, gy - nby), (0, gx - nbx))
-        dy_p = jax.vmap(lambda a: to_flat(a, gy, gx))(jnp.pad(dy, pad2))
-        dx_p = jax.vmap(lambda a: to_flat(a, gy, gx))(jnp.pad(dx, pad2))
-        gyt = gy // tm
-        dy_p = dy_p.reshape(kc * gyt, gx // tn, 1, nblk)
-        dx_p = dx_p.reshape(kc * gyt, gx // tn, 1, nblk)
-
-        def cand_flat_spec():
-            return pl.BlockSpec(
-                (1, 1, 1, nblk), lambda i, j, k: (k * gyt + i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-
-        out = pl.pallas_call(
-            sad_kernel_batched,
-            grid=(gyt, gx // tn, kc),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((th, tw), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-                cand_flat_spec(),
-                cand_flat_spec(),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, tm, tn), lambda i, j, k: (k * gyt + i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (kc * gyt, gx // tn, tm, tn), jnp.int32
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((wh, wwa), jnp.int32),
-                pltpu.SemaphoreType.DMA,
-            ],
-        )(refpad, cur_p, dy_p, dx_p)
-        out = out.reshape(kc, gyt, gx // tn, tm, tn)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(kc, gy, gx)
-        return out[:, :nby, :nbx]
 
     def _pads_g(cur_g, ref_g):
         gn, h, w = cur_g.shape
@@ -801,18 +727,10 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
 
     @jax.custom_batching.custom_vmap
     def sad_at(cur, ref, dy, dx):
-        if dy.ndim == 3:
-            return tile_call_batched(cur, ref, dy, dx)
         return tile_call(sad_kernel, cur, ref, dy, dx, False)
 
     @sad_at.def_vmap
     def _sad_at_vmap(axis_size, in_batched, cur, ref, dy, dx):
-        if dy.ndim - int(in_batched[2]) == 3:
-            raise NotImplementedError(
-                "candidate-batched sad_at (hier refine) cannot nest under "
-                "the GOP batch; use search='full' or 'diamond' with "
-                "--gop-batch"
-            )
         def bc(x, b):
             return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
         cur, ref, dy, dx = (bc(x, b) for x, b in

@@ -59,10 +59,10 @@ def encode_frame_device(
     if is_p:
         if search == "full":
             dy, dx, best_sad = motion.full_search(cur_y, ref_y)
-        elif search == "hier":
-            dy, dx, best_sad = motion.hier_search(cur_y, ref_y)
-        else:
+        elif search == "diamond":
             dy, dx, best_sad = motion.diamond_search(cur_y, ref_y)
+        else:  # hier: golden/oracle-only since r4 (BASELINE.md)
+            raise ValueError(f"search={search!r} is not a device-engine mode")
         is_inter = best_sad <= icost  # ties → inter (SPEC.md §9)
     else:
         dy = jnp.zeros((nby, nbx), jnp.int32)

@@ -138,12 +138,19 @@ def encode_frame_traced(
     nby, nbx = icost.shape
 
     if is_p:
+        # hier was retired from the device engines in r4: measured strictly
+        # dominated on TPU (44 vs 99 fps at 1080p AND worse RD at every qp —
+        # BASELINE.md round-2/3 mode tables). It survives as a host-side
+        # search in the golden model + C++ oracle (SPEC.md §9).
         if search == "full":
             dy, dx, best_sad = dispatch.full_search(cur_y, ref_y)
-        elif search == "hier":
-            dy, dx, best_sad = dispatch.hier_search(cur_y, ref_y)
-        else:
+        elif search == "diamond":
             dy, dx, best_sad = dispatch.diamond_search(cur_y, ref_y)
+        else:
+            raise ValueError(
+                f"search={search!r} is not a device-engine mode (full, "
+                "diamond); hier is golden/oracle-only (BASELINE.md)"
+            )
         is_inter = best_sad <= icost
         m_y = jnp.repeat(jnp.repeat(is_inter, spec.MB, 0), spec.MB, 1)
         m_c = jnp.repeat(jnp.repeat(is_inter, spec.BLK, 0), spec.BLK, 1)
@@ -410,6 +417,11 @@ class GopEngine:
     emit = "frame"
 
     def __init__(self, cfg: EncoderConfig):
+        if cfg.search not in ("full", "diamond"):
+            raise ValueError(
+                f"search={cfg.search!r} is not a device-engine mode (full, "
+                "diamond); hier is golden/oracle-only since r4 (BASELINE.md)"
+            )
         self.cfg = cfg
 
     def _run(self, y, cb, cr, base_qp: int, xl: bool):
