@@ -259,6 +259,32 @@ static int64_t sad16(const Plane& cur, const Plane& ref, int my, int mx, int dy,
   return s;
 }
 
+// SPEC.md §14.2 (format v4): sample of the (fy, fx) parity plane —
+// computed on the plane grid with clamped +1 reads — edge-replication
+// padded. Half-pel MC reads exactly this.
+static inline int32_t hpel_clamped(const Plane& p, int y, int x, int fy, int fx) {
+  if (y < 0) y = 0; if (y >= p.h) y = p.h - 1;
+  if (x < 0) x = 0; if (x >= p.w) x = p.w - 1;
+  int y1 = y + 1 < p.h ? y + 1 : p.h - 1;
+  int x1 = x + 1 < p.w ? x + 1 : p.w - 1;
+  if (!fy && !fx) return p.at(y, x);
+  if (!fy) return (p.at(y, x) + p.at(y, x1) + 1) >> 1;
+  if (!fx) return (p.at(y, x) + p.at(y1, x) + 1) >> 1;
+  return (p.at(y, x) + p.at(y, x1) + p.at(y1, x) + p.at(y1, x1) + 2) >> 2;
+}
+
+static int64_t sad16_hpel(const Plane& cur, const Plane& ref, int my, int mx,
+                          int d2y, int d2x) {
+  int iy = d2y >> 1, ix = d2x >> 1, fy = d2y & 1, fx = d2x & 1;
+  int64_t s = 0;
+  for (int i = 0; i < 16; i++)
+    for (int j = 0; j < 16; j++)
+      s += std::llabs(cur.at(my * 16 + i, mx * 16 + j) -
+                      hpel_clamped(ref, my * 16 + iy + i, mx * 16 + ix + j,
+                                   fy, fx));
+  return s;
+}
+
 struct MB {
   bool inter = false;
   int dy = 0, dx = 0, qp = 0;
@@ -375,6 +401,19 @@ static void encode_frame(const Config& cfg, bool is_p,
           }
           best = cost; bdy = dy; bdx = dx;
         }
+        if (cfg.fmt >= 4) {
+          // SPEC.md §14.4: half-pel refinement, row-major first-minimum
+          int64_t hb = INT64_MAX; int hdy = 0, hdx = 0;
+          for (int u = -1; u <= 1; u++)
+            for (int v = -1; v <= 1; v++) {
+              int ny = 2 * bdy + u, nx = 2 * bdx + v;
+              int64_t s = (std::abs(ny) <= 32 && std::abs(nx) <= 32)
+                              ? sad16_hpel(cy, ref_y, my, mx, ny, nx)
+                              : (1LL << 60);
+              if (s < hb) { hb = s; hdy = ny; hdx = nx; }
+            }
+          best = hb; bdy = hdy; bdx = hdx;  // half-pel units from here on
+        }
         mb.inter = best <= icost;
         mb.dy = bdy; mb.dx = bdx;
       }
@@ -417,7 +456,10 @@ static void encode_frame(const Config& cfg, bool is_p,
           for (int j = 0; j < 8; j++) {
             int32_t p;
             if (mb.inter)
-              p = refp->clamped(oy + cdy + i, ox + cdx + j);
+              p = cfg.fmt >= 4
+                      ? hpel_clamped(*refp, oy + (cdy >> 1) + i,
+                                     ox + (cdx >> 1) + j, cdy & 1, cdx & 1)
+                      : refp->clamped(oy + cdy + i, ox + cdx + j);
             else if (cfg.fmt >= 3 && !is_p) {
               // v3 I-frame vertical intra (SPEC.md §13.1): the recon pixel
               // row directly above this block (raster order guarantees it
@@ -616,7 +658,10 @@ static void decode_frame(int w, int h, bool is_p, int base_qp,
           for (int j = 0; j < 8; j++) {
             int32_t p;
             if (inter)
-              p = refp->clamped(oy + cdy + i, ox + cdx + j);
+              p = version >= 4
+                      ? hpel_clamped(*refp, oy + (cdy >> 1) + i,
+                                     ox + (cdx >> 1) + j, cdy & 1, cdx & 1)
+                      : refp->clamped(oy + cdy + i, ox + cdx + j);
             else if (version >= 3 && !is_p) {
               // v3 I-frame vertical intra (SPEC.md §13.1) with the §13.3
               // intra-slice reset
@@ -667,7 +712,8 @@ int tvc_parse_frame_planes(const uint8_t* payload, uint64_t nbits, int is_p,
     }
     int qp = base_qp + br.get_se();
     qps[m] = qp < 1 ? 1 : (qp > 63 ? 63 : qp);  // corrupt-stream clamp
-    if (dy < -16 || dy > 16 || dx < -16 || dx > 16) return 3;
+    int mvr = version >= 4 ? 32 : 16;  // v4: half-pel units (SPEC.md §14.1)
+    if (dy < -mvr || dy > mvr || dx < -mvr || dx > mvr) return 3;
     inter[m] = mb_inter;
     mvs[2 * m] = dy;
     mvs[2 * m + 1] = dx;
@@ -774,7 +820,8 @@ int tvc_parse_frame(const uint8_t* payload, uint64_t nbits, int is_p,
     }
     int qp = base_qp + br.get_se();
     qps[m] = qp < 1 ? 1 : (qp > 63 ? 63 : qp);  // corrupt-stream clamp
-    if (dy < -16 || dy > 16 || dx < -16 || dx > 16) return 3;
+    int mvr = version >= 4 ? 32 : 16;  // v4: half-pel units (SPEC.md §14.1)
+    if (dy < -mvr || dy > mvr || dx < -mvr || dx > mvr) return 3;
     inter[m] = mb_inter;
     mvs[2 * m] = dy;
     mvs[2 * m + 1] = dx;
@@ -822,7 +869,7 @@ int tvc_decode_stream(const uint8_t* data, int64_t size, uint8_t* out,
   init_qstep();
   if (size < 24 || memcmp(data, "TVC1", 4)) return -1;
   int version = get_le16(&data[4]);
-  if (version < 1 || version > 3) return -4;
+  if (version < 1 || version > 4) return -4;
   int flags = get_le16(&data[6]);
   int cqpo = (flags >> 8) & 0xFF;
   if (cqpo >= 128) cqpo -= 256;  // signed int8 (SPEC.md §12.1)

@@ -122,3 +122,28 @@ def test_chunk_merge_matches_tree_concat(rng):
         )
         assert int(want_b) == int(cb[c])
         assert np.array_equal(np.asarray(want_w), cw[c])
+
+
+@pytest.mark.parametrize("fmt", [1, 2])
+def test_block_pack_kernel_on_chip(rng, fmt):
+    """Fused symbols+pack kernel (ops/pallas/entropy_pack.py) vs the jnp
+    reference pair on the real chip — compiled mosaic, not interpret."""
+    from video_encoder_tpu.codec import entropy
+    from video_encoder_tpu.ops.pallas import entropy_pack as ep
+
+    n, words = 700, 16
+    lv = np.zeros((n, 64), np.int32)
+    mask = rng.random((n, 64)) < 0.15
+    lv[mask] = rng.integers(-3925, 3926, mask.sum())
+    lv[0] = 0
+    lv[1] = rng.integers(-3925, 3926, 64)
+    dcp = rng.integers(-3925, 3926, n).astype(np.int32)
+
+    if fmt >= 2:
+        v, l = entropy.block_symbols_v2(jnp.asarray(lv), jnp.asarray(dcp))
+    else:
+        v, l = entropy.block_symbols(jnp.asarray(lv))
+    want_w, want_b, _ = entropy.pack_dense(v, l, words)
+    got_w, got_b = ep.block_pack(jnp.asarray(lv), jnp.asarray(dcp), fmt, words)
+    assert np.array_equal(np.asarray(want_b), np.asarray(got_b))
+    assert np.array_equal(np.asarray(want_w), np.asarray(got_w))

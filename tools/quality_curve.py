@@ -90,7 +90,11 @@ def main():
                          (3, 8, True, 0, "full-v3-qm"),
                          (3, 5, False, 0, "full-v3-dz5"),
                          (3, 5, True, 0, "full-v3-qm-dz5"),
-                         (3, 8, False, 2, "full-v3-is2")]
+                         (3, 8, False, 2, "full-v3-is2"),
+                         # v4 (SPEC.md §14): half-pel motion — the r4
+                         # quality-frontier row (r3 verdict item 7)
+                         (4, 8, False, 0, "full-v4"),
+                         (4, 5, False, 0, "full-v4-dz5")]
         for fmt, qb, qmat, isl, key in variants:
             pts = measure(a.width, a.height, a.frames, a.qps, search, fmt,
                           quant_bias=qb, qmat=qmat, islice=isl)

@@ -462,9 +462,10 @@ def main(argv=None) -> int:
                         "reads the input twice)")
     e.add_argument("--frames", type=int, default=0, help="0 = all")
     e.add_argument("--engine", choices=["gop", "device", "golden"], default="gop")
-    e.add_argument("--format", type=int, choices=[1, 2, 3], default=1,
+    e.add_argument("--format", type=int, choices=[1, 2, 3, 4], default=1,
                    help="bitstream format: 1=TVC1, 2=v2 (mv pred, DC DPCM), "
-                        "3=v3 (I-frame intra pred, quant matrix)")
+                        "3=v3 (I-frame intra pred, quant matrix), "
+                        "4=v4 (half-pel motion)")
     e.add_argument("--quant-matrix", action="store_true",
                    help="v3: per-frequency quant matrix (SPEC.md 13.2)")
     e.add_argument("--intra-slice", type=int, default=0,

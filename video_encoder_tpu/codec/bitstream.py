@@ -93,7 +93,7 @@ def read_stream_header(f: BinaryIO) -> StreamInfo:
     )
     if magic != MAGIC:
         raise ValueError(f"not a TVC1 stream (magic={magic!r})")
-    if ver not in (1, 2, 3):
+    if ver not in (1, 2, 3, 4):
         raise ValueError(f"unsupported TVC1 version {ver}")
     cqpo = 0
     if ver >= 2:

@@ -61,19 +61,19 @@ class EncoderConfig:
             raise ValueError("vbv_kbits must be in [0, 1_000_000]")
         if self.gop_n < 1:
             raise ValueError("gop_n must be >= 1")
-        if self.format_version not in (1, 2, 3):
+        if self.format_version not in (1, 2, 3, 4):
             raise ValueError(f"unknown format version {self.format_version}")
         if not (-12 <= self.chroma_qp_offset <= 12):
             raise ValueError("chroma_qp_offset must be in [-12, 12]")
         if self.format_version == 1 and self.chroma_qp_offset != 0:
             raise ValueError("chroma_qp_offset requires format_version>=2")
         if self.quant_matrix and self.format_version < 3:
-            raise ValueError("quant_matrix requires format_version=3")
+            raise ValueError("quant_matrix requires format_version>=3")
         if not (1 <= self.quant_bias <= 8):
             raise ValueError("quant_bias must be in [1, 8]")
         if self.intra_slice_mbrows:
             if self.format_version < 3:
-                raise ValueError("intra_slice_mbrows requires format_version=3")
+                raise ValueError("intra_slice_mbrows requires format_version>=3")
             if not (0 < self.intra_slice_mbrows <= 0xFFFF):
                 raise ValueError("intra_slice_mbrows must be in [0, 65535]")
 

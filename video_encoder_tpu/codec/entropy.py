@@ -373,6 +373,37 @@ def _dc_pred_left(levels: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(dc[..., :, :-1], ((0, 0), (1, 0)))
 
 
+def _pack_blocks(levels, dc_pred, fmt: int, block_words: int):
+    """Per-block pack of a [..., 64] zigzag level array: returns
+    ([..., W] word strings, [...] bit counts, overflow flag).
+
+    Routed via ops.dispatch: the fused Pallas symbols+pack kernel on TPU
+    (ops/pallas/entropy_pack.py — never materializes the [blocks, 130]
+    symbol tables in HBM), block_symbols(_v2) + pack_dense elsewhere;
+    bit-exact pair (tests/test_entropy_pack_kernel.py)."""
+    from ..ops import dispatch
+
+    lead = levels.shape[:-1]
+    if dispatch.use_pallas():
+        from ..ops.pallas import entropy_pack as ep
+
+        w, b = ep.block_pack(
+            levels.reshape(-1, 64),
+            None if dc_pred is None else dc_pred.reshape(-1),
+            fmt, block_words,
+        )
+        w = w.reshape(*lead, block_words)
+        b = b.reshape(lead)
+    else:
+        if fmt >= 2:
+            v, l = (block_symbols_v2(levels, dc_pred) if dc_pred is not None
+                    else block_symbols_v2(levels, jnp.zeros(lead, jnp.int32)))
+        else:
+            v, l = block_symbols(levels)
+        w, b, _ = pack_dense(v, l, block_words)
+    return w, b, (b > 32 * block_words).any()
+
+
 def _frame_pieces_v2(
     levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
     dy, dx, block_words,
@@ -387,16 +418,19 @@ def _frame_pieces_v2(
         hv.reshape(n_mbs, HEADER_SLOTS), hl.reshape(n_mbs, HEADER_SLOTS), HEADER_WORDS
     )
 
-    yv, yl = block_symbols_v2(levels_y8, _dc_pred_left(levels_y8))
-    ywords, ybits, ovf_y = pack_dense(yv, yl, block_words)
+    ywords, ybits, ovf_y = _pack_blocks(
+        levels_y8, _dc_pred_left(levels_y8), 2, block_words
+    )
     ywords = ywords.reshape(nby, 2, nbx, 2, block_words).transpose(0, 2, 1, 3, 4)
     ywords = ywords.reshape(n_mbs, 4, block_words)
     ybits = ybits.reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3).reshape(n_mbs, 4)
 
-    cbv, cbl = block_symbols_v2(levels_cb, _dc_pred_left(levels_cb))
-    cbwords, cbbits, ovf_cb = pack_dense(cbv, cbl, block_words)
-    crv, crl = block_symbols_v2(levels_cr, _dc_pred_left(levels_cr))
-    crwords, crbits, ovf_cr = pack_dense(crv, crl, block_words)
+    cbwords, cbbits, ovf_cb = _pack_blocks(
+        levels_cb, _dc_pred_left(levels_cb), 2, block_words
+    )
+    crwords, crbits, ovf_cr = _pack_blocks(
+        levels_cr, _dc_pred_left(levels_cr), 2, block_words
+    )
 
     hpad = jnp.pad(hwords, ((0, 0), (0, block_words - HEADER_WORDS)))
     piece_words = jnp.concatenate(
@@ -466,17 +500,14 @@ def _frame_pieces(
         hv.reshape(n_mbs, HEADER_SLOTS), hl.reshape(n_mbs, HEADER_SLOTS), HEADER_WORDS
     )
 
-    yv, yl = block_symbols(levels_y8)
-    ywords, ybits, ovf_y = pack_dense(yv, yl, block_words)
+    ywords, ybits, ovf_y = _pack_blocks(levels_y8, None, 1, block_words)
     # [2nby, 2nbx, W] -> [n_mbs, 4, W] in (Y00, Y01, Y10, Y11) piece order
     ywords = ywords.reshape(nby, 2, nbx, 2, block_words).transpose(0, 2, 1, 3, 4)
     ywords = ywords.reshape(n_mbs, 4, block_words)
     ybits = ybits.reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3).reshape(n_mbs, 4)
 
-    cbv, cbl = block_symbols(levels_cb)
-    cbwords, cbbits, ovf_cb = pack_dense(cbv, cbl, block_words)
-    crv, crl = block_symbols(levels_cr)
-    crwords, crbits, ovf_cr = pack_dense(crv, crl, block_words)
+    cbwords, cbbits, ovf_cb = _pack_blocks(levels_cb, None, 1, block_words)
+    crwords, crbits, ovf_cr = _pack_blocks(levels_cr, None, 1, block_words)
 
     hpad = jnp.pad(hwords, ((0, 0), (0, block_words - HEADER_WORDS)))
     piece_words = jnp.concatenate(
@@ -589,34 +620,36 @@ def pack_frame_rows(
 
 
 def chunk_capacity(n_pieces: int, block_words: int) -> tuple[int, int, int]:
-    """(n_chunk_strings, pieces_per_half_chunk, words_per_chunk_string)
+    """(n_chunk_strings, pieces_per_chunk_string, words_per_chunk_string)
     for a frame of n_pieces piece strings of block_words words."""
     from ..ops.pallas import pack as ppack
 
-    k = ppack.pick_chunk_k(n_pieces, block_words)
-    h = max(k // 2, 1)
-    n2 = -(-n_pieces // k) * k
-    return n2 // h, h, h * block_words + 1
+    n2, h, cw, n_strings = ppack.span_geometry(n_pieces, block_words)
+    return n_strings, h, cw
 
 
 def _pieces_to_chunks(piece_words: jnp.ndarray, piece_bits: jnp.ndarray,
                       block_words: int):
-    """[n, W] piece strings -> ([C, cw] chunk strings, [C] chunk bits)."""
+    """[n, W] piece strings -> ([C, cw] chunk strings, [C] chunk bits).
+
+    On TPU: the sublane-full two-stage super-merge kernel
+    (ops/pallas/pack.py super_merge — every level runs with >= 8 live
+    sublanes, unlike tree_concat / the k=1024 chunk_merge whose ragged
+    tails were the measured 2.4 ms/frame,
+    tools/exp_pack_parts_results.json)."""
     from ..ops import dispatch
+    from ..ops.pallas import pack as ppack
 
     n, w = piece_words.shape
-    c, h, cw = chunk_capacity(n, w)
-    n2 = c * h
+    n2, h, cw, n_strings = ppack.span_geometry(n, w)
     if n2 != n:
         piece_words = jnp.pad(piece_words, ((0, n2 - n), (0, 0)))
         piece_bits = jnp.pad(piece_bits, (0, n2 - n))
-    if dispatch.use_pallas() and h >= 8:
-        from ..ops.pallas import pack as ppack
-
-        return ppack.chunk_merge(piece_words, piece_bits, 2 * h)
+    if dispatch.use_pallas() and h >= 2:
+        return ppack.super_merge(piece_words, piece_bits)
     cwords, cbits = jax.vmap(
         lambda b, l: tree_concat(b, l, cw)
-    )(piece_words.reshape(c, h, w), piece_bits.reshape(c, h))
+    )(piece_words.reshape(n_strings, h, w), piece_bits.reshape(n_strings, h))
     return cwords, cbits
 
 

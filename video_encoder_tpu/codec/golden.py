@@ -221,6 +221,63 @@ def mc_fetch(refpad: np.ndarray, dy: np.ndarray, dx: np.ndarray, bs: int, r: int
     return refpad[rows, cols]
 
 
+def hpel_planes(p: np.ndarray):
+    """SPEC.md §14.2 parity planes (H, V, D) on the plane grid, +1 reads
+    edge-clamped."""
+    b = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)   # p[y, x+1]
+    c = np.concatenate([p[1:, :], p[-1:, :]], axis=0)   # p[y+1, x]
+    d = np.concatenate([b[1:, :], b[-1:, :]], axis=0)   # p[y+1, x+1]
+    return (p + b + 1) >> 1, (p + c + 1) >> 1, (p + b + c + d + 2) >> 2
+
+
+def mc_fetch_hpel(plane: np.ndarray, d2y: np.ndarray, d2x: np.ndarray,
+                  bs: int, r: int):
+    """Predictor blocks at half-pel mvs (SPEC.md §14.2): integer mc_fetch
+    on the (fy, fx)-selected edge-padded parity plane."""
+    hh, vv, dd = hpel_planes(plane)
+    iy, ix = d2y >> 1, d2x >> 1
+    sel = ((d2y & 1) * 2 + (d2x & 1))[:, :, None, None]
+    f = [mc_fetch(spec.pad_ref(pl, r), iy, ix, bs, r)
+         for pl in (plane, hh, vv, dd)]
+    return np.select([sel == 0, sel == 1, sel == 2], f[:3], f[3])
+
+
+def sad_hpel_refine(cur_y: np.ndarray, ref_y: np.ndarray,
+                    dy: np.ndarray, dx: np.ndarray):
+    """SPEC.md §14.4 half-pel refinement: evaluate (2dy+u, 2dx+v) for
+    (u, v) in {-1,0,1}^2 row-major, first-minimum; out-of-range = +inf.
+    Returns (d2y, d2x, sad) with components in half-pel units."""
+    hh, vv, dd = hpel_planes(ref_y)
+    pads = {
+        (0, 0): spec.pad_ref(ref_y, spec.SEARCH_R),
+        (0, 1): spec.pad_ref(hh, spec.SEARCH_R),
+        (1, 0): spec.pad_ref(vv, spec.SEARCH_R),
+        (1, 1): spec.pad_ref(dd, spec.SEARCH_R),
+    }
+    r2 = 2 * spec.SEARCH_R
+    cand_costs, cand_dy, cand_dx = [], [], []
+    for u in (-1, 0, 1):
+        for v in (-1, 0, 1):
+            d2y, d2x = 2 * dy + u, 2 * dx + v
+            valid = (np.abs(d2y) <= r2) & (np.abs(d2x) <= r2)
+            iy = np.clip(d2y >> 1, -spec.SEARCH_R, spec.SEARCH_R)
+            ix = np.clip(d2x >> 1, -spec.SEARCH_R, spec.SEARCH_R)
+            c = np.where(
+                valid,
+                sad_at(cur_y, pads[(abs(u), abs(v))], iy, ix),
+                np.int64(1) << 60,
+            )
+            cand_costs.append(c)
+            cand_dy.append(d2y)
+            cand_dx.append(d2x)
+    cc = np.stack(cand_costs)
+    widx = np.argmin(cc, axis=0)  # first occurrence == (u, v) row-major
+    d2y = np.take_along_axis(np.stack(cand_dy), widx[None], 0)[0].astype(np.int32)
+    d2x = np.take_along_axis(np.stack(cand_dx), widx[None], 0)[0].astype(np.int32)
+    sad = np.take_along_axis(cc, widx[None], 0)[0]
+    return d2y, d2x, sad
+
+
 def intra_cost_and_dc(cur_y: np.ndarray):
     """Per-MB DC and SAD-vs-DC (SPEC.md §9 mode decision / §10 activity)."""
     blocks = spec.blockify(cur_y, spec.MB).astype(np.int64)
@@ -271,21 +328,33 @@ def _scatter_blocks(blocks6: np.ndarray):
     return yb, blocks6[:, :, 4], blocks6[:, :, 5]
 
 
-def _predict(cur: Frame, ref: Frame | None, is_inter: np.ndarray, dy, dx):
-    """Per-MB predictors (luma [nby,nbx,16,16], chroma [nby,nbx,8,8] ×2)."""
+def _predict(cur: Frame, ref: Frame | None, is_inter: np.ndarray, dy, dx,
+             hpel: bool = False):
+    """Per-MB predictors (luma [nby,nbx,16,16], chroma [nby,nbx,8,8] ×2).
+
+    hpel (SPEC.md §14, format v4): dy/dx are in half-pel units; chroma
+    vectors are dy>>1, dx>>1 in chroma half-pel units (§14.3)."""
     nby, nbx = dy.shape
     pred_y = np.full((nby, nbx, spec.MB, spec.MB), 128, dtype=np.int32)
     pred_cb = np.full((nby, nbx, spec.BLK, spec.BLK), 128, dtype=np.int32)
     pred_cr = np.full((nby, nbx, spec.BLK, spec.BLK), 128, dtype=np.int32)
     if ref is not None and is_inter.any():
-        refpad_y = spec.pad_ref(ref.y, spec.SEARCH_R)
-        refpad_cb = spec.pad_ref(ref.cb, spec.BLK)
-        refpad_cr = spec.pad_ref(ref.cr, spec.BLK)
         cdy, cdx = dy >> 1, dx >> 1
         m = is_inter[:, :, None, None]
-        pred_y = np.where(m, mc_fetch(refpad_y, dy, dx, spec.MB, spec.SEARCH_R), pred_y)
-        pred_cb = np.where(m, mc_fetch(refpad_cb, cdy, cdx, spec.BLK, spec.BLK), pred_cb)
-        pred_cr = np.where(m, mc_fetch(refpad_cr, cdy, cdx, spec.BLK, spec.BLK), pred_cr)
+        if hpel:
+            pred_y = np.where(
+                m, mc_fetch_hpel(ref.y, dy, dx, spec.MB, spec.SEARCH_R), pred_y)
+            pred_cb = np.where(
+                m, mc_fetch_hpel(ref.cb, cdy, cdx, spec.BLK, spec.BLK), pred_cb)
+            pred_cr = np.where(
+                m, mc_fetch_hpel(ref.cr, cdy, cdx, spec.BLK, spec.BLK), pred_cr)
+        else:
+            refpad_y = spec.pad_ref(ref.y, spec.SEARCH_R)
+            refpad_cb = spec.pad_ref(ref.cb, spec.BLK)
+            refpad_cr = spec.pad_ref(ref.cr, spec.BLK)
+            pred_y = np.where(m, mc_fetch(refpad_y, dy, dx, spec.MB, spec.SEARCH_R), pred_y)
+            pred_cb = np.where(m, mc_fetch(refpad_cb, cdy, cdx, spec.BLK, spec.BLK), pred_cb)
+            pred_cr = np.where(m, mc_fetch(refpad_cr, cdy, cdx, spec.BLK, spec.BLK), pred_cr)
     return pred_y, pred_cb, pred_cr
 
 
@@ -345,6 +414,10 @@ def encode_frame(
             dy, dx, best_sad = sad_hier_search(cur.y, ref.y)
         else:
             dy, dx, best_sad = sad_diamond_search(cur.y, ref.y)
+        if cfg.format_version >= 4:
+            # v4 (SPEC.md §14.4): half-pel refinement; dy/dx become
+            # half-pel units from here on (mvd coding included)
+            dy, dx, best_sad = sad_hpel_refine(cur.y, ref.y, dy, dx)
         is_inter = best_sad <= icost  # ties → inter (SPEC.md §9)
 
     if _qp_mb is not None:
@@ -384,7 +457,8 @@ def encode_frame(
         levels_zz = levels.reshape(nby, nbx, 6, 64)[..., spec.ZIGZAG]
         recon = Frame(rec_y, rec_cb, rec_cr)
     else:
-        pred_y, pred_cb, pred_cr = _predict(cur, ref, is_inter, dy, dx)
+        pred_y, pred_cb, pred_cr = _predict(
+            cur, ref, is_inter, dy, dx, hpel=cfg.format_version >= 4)
 
         cur_yb = spec.blockify(cur.y, spec.MB)
         resid_y = spec.blockify(spec.unblockify((cur_yb - pred_y)), spec.BLK)
@@ -525,7 +599,9 @@ def decode_frame(
                     if version >= 2 and mx > 0 and is_inter[my, mx - 1]:
                         vx += int(dx[my, mx - 1])
                         vy += int(dy[my, mx - 1])
-                    if not (-16 <= vx <= 16 and -16 <= vy <= 16):
+                    # v4 (SPEC.md §14.1): components in half-pel units
+                    mv_r = 2 * spec.SEARCH_R if version >= 4 else spec.SEARCH_R
+                    if not (-mv_r <= vx <= mv_r and -mv_r <= vy <= mv_r):
                         raise ValueError(
                             f"corrupt stream: mv ({vy},{vx}) out of range"
                         )
@@ -554,12 +630,22 @@ def decode_frame(
                     pos = 0
                     for _ in range(nnz_ac):
                         pos += br.get_ue() + 1
+                        if pos >= 64:
+                            raise ValueError(
+                                f"corrupt stream: zigzag position {pos} in "
+                                f"MB ({my},{mx}) block {b}"
+                            )
                         levels_zz[my, mx, b, pos] = br.get_se()
                 else:
                     nnz = br.get_ue() + 1
                     pos = -1
                     for _ in range(nnz):
                         pos += br.get_ue() + 1
+                        if pos >= 64:
+                            raise ValueError(
+                                f"corrupt stream: zigzag position {pos} in "
+                                f"MB ({my},{mx}) block {b}"
+                            )
                         levels_zz[my, mx, b, pos] = br.get_se()
 
     cqpo = chroma_qp_offset if version >= 2 else 0
@@ -585,6 +671,7 @@ def decode_frame(
         np.zeros((hp // 2, wp // 2), np.int32),
         np.zeros((hp // 2, wp // 2), np.int32),
     )
-    pred_y, pred_cb, pred_cr = _predict(geom, ref, is_inter, dy, dx)
+    pred_y, pred_cb, pred_cr = _predict(geom, ref, is_inter, dy, dx,
+                                        hpel=version >= 4)
     return _reconstruct(levels_zz, qp_mb, pred_y, pred_cb, pred_cr, cqpo,
                         quant_matrix)

@@ -257,3 +257,12 @@ def adaptive_qp(base_qp, act):
     """rc=adaptive per-MB QP (SPEC.md §10); bitlen via 32 - clz."""
     blen = jnp.where(act > 0, 32 - jax.lax.clz(act.astype(jnp.int32)), 0)
     return jnp.clip(base_qp + (blen - 10), spec.QP_MIN, spec.QP_MAX).astype(jnp.int32)
+
+
+def hpel_planes(p: jnp.ndarray):
+    """SPEC.md §14.2 parity planes (H, V, D) on the plane grid — jnp twin
+    of golden.hpel_planes, +1 reads edge-clamped."""
+    b = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)   # p[y, x+1]
+    c = jnp.concatenate([p[1:, :], p[-1:, :]], axis=0)   # p[y+1, x]
+    d = jnp.concatenate([b[1:, :], b[-1:, :]], axis=0)   # p[y+1, x+1]
+    return (p + b + 1) >> 1, (p + c + 1) >> 1, (p + b + c + d + 2) >> 2

@@ -62,13 +62,30 @@ def _merge_level(buf, bits, w: int, w_out: int):
     else:
         bs = bs[:, :w_out]
 
+    # Binary-decomposed word placement as a fori_loop with DYNAMIC
+    # pltpu.roll: the r3 unrolled pad-and-select version kept every
+    # iteration's full-width copy live (mosaic does no liveness reuse
+    # across an unroll), which scaled the kernel's VMEM as
+    # O(width * log(width)) and OOM'd the 16 MB scoped budget for the
+    # super-merge shapes; the loop carry keeps it at O(width).
+    # tpu.dynamic_rotate wants a 128-aligned lane dim, so the placement
+    # runs on a padded copy. Correctness of the circular roll on the
+    # padded buffer: every iteration masks lanes < sh to 0, and junk that
+    # drifts into the padding region can only wrap back into lanes < sh
+    # (masked), so lanes [0, w_out) always hold the exact shifted string.
     base = bits_a >> 5
-    kbit = 0
-    while (1 << kbit) < w_out:
-        hit = (base & (1 << kbit)) != 0
-        shifted = jnp.pad(bs, ((0, 0), (1 << kbit, 0)))[:, :w_out]
-        bs = jnp.where(hit, shifted, bs)
-        kbit += 1
+    wp = -(-w_out // 128) * 128
+    bsp = jnp.pad(bs, ((0, 0), (0, wp - w_out))) if wp != w_out else bs
+    lanes = jax.lax.broadcasted_iota(jnp.int32, bsp.shape, 1)
+
+    def place(k, b):
+        sh = 1 << k
+        hit = (base & sh) != 0
+        shifted = jnp.where(lanes >= sh, pltpu.roll(b, sh, 1), 0)
+        return jnp.where(hit, shifted, b)
+
+    nbk = max(1, (w_out - 1).bit_length())
+    bs = jax.lax.fori_loop(0, nbk, place, bsp)[:, :w_out]
 
     a_pad = jnp.pad(a, ((0, 0), (0, w_out - w)))
     return a_pad | bs, bits_a + bits_b
@@ -180,3 +197,140 @@ def chunk_merge(buffers: jnp.ndarray, bits: jnp.ndarray, k: int):
     (chunk_words [2n/k, (k/2)*w+1], chunk_bits [2n/k]), in piece order.
     vmap folds the batch axis into the chunk grid."""
     return _chunk_merge_public(k)(buffers, bits)
+
+
+# ---------------------------------------------------------------------------
+# r4 super-merge: the measured cost of BOTH tree_concat (2.4 ms/frame at
+# 1080p, tools/exp_pack_parts_results.json) and the k=1024 chunk_merge
+# (equal within noise) is their RAGGED TAIL — every level past n=8 runs on
+# 1-4 sublanes of 8 and pays the word-placement passes on the widest
+# arrays at ~12% VPU occupancy. The super merge runs the same pairwise
+# reduction but keeps EVERY level sublane-full, in two kernel stages so no
+# grid instance ever holds wide×many buffers (the 16 MB scoped-VMEM
+# budget rejects a single-stage version — axon compile logs, r4):
+#   stage 1: 1024-piece groups  -> 8 strings of 128 pieces (cw1 words)
+#   stage 2: 32-string groups   -> 8 strings of 512 pieces (cw words)
+# The ~n/512 span strings per frame are glued by the host mux
+# (emit="chunks" — SURVEY.md §7.0 "host does bytes").
+# ---------------------------------------------------------------------------
+
+SUPER_K = 4096  # pieces per final span string * 8; two-stage threshold
+
+
+def span_geometry(n_pieces: int, w: int):
+    """(padded_n, pieces_per_string, words_per_string, n_strings) for the
+    super merge of n_pieces piece strings of w words each."""
+    if n_pieces >= 4096:
+        n2 = -(-n_pieces // 4096) * 4096
+        cw1 = 128 * w + 1
+        cw = 4 * cw1 + 1
+        return n2, 512, cw, n2 // 512
+    k = 16
+    while k * 2 <= n_pieces and k < 2048:
+        k *= 2
+    n2 = -(-n_pieces // k) * k
+    h = k // 8
+    return n2, h, h * w + 1, (n2 // k) * 8
+
+
+def _make_reduce_kernel(g: int, w: int, stop: int, cw: int):
+    """Merge each [g, w] group of strings down to [stop, cw] in VMEM."""
+
+    def kernel(pw_ref, pb_ref, out_w_ref, out_b_ref):
+        buf = pw_ref[0]
+        bits = pb_ref[0]
+        n, width = g, w
+        while n > stop:
+            w_out = min(2 * width + 1, cw)
+            buf, bits = _merge_level(buf, bits, width, w_out)
+            width = w_out
+            n //= 2
+        if width < cw:
+            buf = jnp.pad(buf, ((0, 0), (0, cw - width)))
+        out_w_ref[0] = buf
+        out_b_ref[0] = bits
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _reduce_call(n_groups: int, g: int, w: int, stop: int, cw: int):
+    kernel = _make_reduce_kernel(g, w, stop, cw)
+
+    def call(strings, bits):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_groups,),
+            in_specs=[
+                pl.BlockSpec((1, g, w), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g, 1), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, stop, cw), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, stop, 1), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_groups, stop, cw), jnp.uint32),
+                jax.ShapeDtypeStruct((n_groups, stop, 1), jnp.int32),
+            ],
+        )(strings, bits)
+
+    return call
+
+
+def _reduce(strings, bits, g: int, stop: int, cw: int):
+    n, w = strings.shape
+    call = _reduce_call(n // g, g, w, stop, cw)
+    sw, sb = call(
+        strings.reshape(n // g, g, w),
+        bits.reshape(n // g, g, 1).astype(jnp.int32),
+    )
+    return sw.reshape(n // g * stop, cw), sb.reshape(n // g * stop)
+
+
+def _super_merge_impl(buffers: jnp.ndarray, bits: jnp.ndarray):
+    n, w = buffers.shape
+    n2, h, cw, n_strings = span_geometry(n, w)
+    assert n == n2, "caller pads to span_geometry's padded_n"
+    if h == 512:  # two-stage production shape
+        cw1 = 128 * w + 1
+        s1w, s1b = _reduce(buffers, bits, 1024, 8, cw1)
+        return _reduce(s1w, s1b, 32, 8, cw)
+    return _reduce(buffers, bits, h * 8, 8, cw)
+
+
+@functools.lru_cache(maxsize=2)
+def _super_merge_public():
+    @jax.custom_batching.custom_vmap
+    def fn(buffers, bits):
+        return _super_merge_impl(buffers, bits)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, buffers, bits):
+        if not in_batched[0]:
+            buffers = jnp.broadcast_to(buffers, (axis_size,) + buffers.shape)
+        if not in_batched[1]:
+            bits = jnp.broadcast_to(bits, (axis_size,) + bits.shape)
+        g, n, w = buffers.shape
+        _, _, cw, n_strings = span_geometry(n, w)
+        cw_, cb_ = _super_merge_impl(
+            buffers.reshape(g * n, w), bits.reshape(g * n)
+        )
+        return (cw_.reshape(g, n_strings, cw),
+                cb_.reshape(g, n_strings)), (True, True)
+
+    return fn
+
+
+def super_merge(buffers: jnp.ndarray, bits: jnp.ndarray):
+    """Merge piece strings into span strings, sublane-full at every level.
+
+    buffers [n, w] uint32, bits [n] int32; n must equal span_geometry's
+    padded_n (pad with zero-length pieces). Returns (strings
+    [n_strings, cw] uint32, bits [n_strings]) in piece order; byte-exact
+    with entropy.tree_concat over each span's pieces."""
+    return _super_merge_public()(buffers, bits)

@@ -31,8 +31,20 @@ import numpy as np
 def init_localhost_cpu(process_id: int, num_processes: int, port: int) -> None:
     """Bring up this process as one member of a localhost CPU 'pod': pin the
     cpu platform BEFORE first backend use (the axon sitecustomize pre-pins
-    TPU), select gloo cross-process collectives, join the coordinator."""
+    TPU), select gloo cross-process collectives, join the coordinator.
+
+    TVC_CPU_PIN=<core>: pin this worker to one core. XLA:CPU spawns a
+    multi-thread intra-op pool regardless of the thread-count flags
+    (measured: 11 threads, cpu/wall 1.76 under the 'single-thread' flags);
+    unpinned N-worker runs therefore contend and spin, inflating
+    cpu-seconds 11-17% (the r3 VERDICT's unexplained overhead). Pinning
+    each worker to its own core makes cpu-seconds == wall (measured ratio
+    0.95) and the scaling accounting contention-free."""
     import jax
+
+    pin = os.environ.get("TVC_CPU_PIN")
+    if pin is not None and hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, {int(pin)})
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
@@ -248,8 +260,10 @@ def spawn_clip_encode(cfg, in_path: str, width: int, height: int,
         env = dict(os.environ)
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
         env.pop("JAX_PLATFORMS", None)
+        ncores = os.cpu_count() or 1
         pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for i in range(nproc):
+            env = dict(env, TVC_CPU_PIN=str(i % ncores))
             procs.append(subprocess.Popen(
                 [sys.executable, "-m", "video_encoder_tpu.parallel.multiprocess",
                  "--process-id", str(i), "--num-processes", str(nproc),
@@ -327,19 +341,21 @@ def spawn(n: int, port: int, extra: list[str]) -> list[dict]:
     env = dict(os.environ)
     # one thread per worker: scaling rows then compare like against like
     # instead of measuring thread-pool contention on small hosts
-    env["XLA_FLAGS"] = (
-        "--xla_force_host_platform_device_count=1 "
-        "--xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
-    )
+    # one PINNED core per worker: the XLA:CPU intra-op pool ignores the
+    # thread-count flags (see init_localhost_cpu), so affinity — not flags
+    # — is what makes N workers contention-free and cpu-seconds == wall
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env.pop("JAX_PLATFORMS", None)
+    ncores = os.cpu_count() or 1
     for i in range(n):
+        wenv = dict(env, TVC_CPU_PIN=str(i % ncores))
         procs.append(
             subprocess.Popen(
                 [sys.executable, "-m", "video_encoder_tpu.parallel.multiprocess",
                  "--process-id", str(i), "--num-processes", str(n),
                  "--port", str(port), *extra],
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-                env=env, text=True,
+                env=wenv, text=True,
                 cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
             )
         )

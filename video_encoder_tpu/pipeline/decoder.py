@@ -96,9 +96,17 @@ class DeviceDecodeEngine:
             m_y = jnp.repeat(jnp.repeat(is_inter, spec.MB, 0), spec.MB, 1)
             m_c = jnp.repeat(jnp.repeat(is_inter, spec.BLK, 0), spec.BLK, 1)
             cdy, cdx = dy >> 1, dx >> 1
-            pred_y = jnp.where(m_y, dispatch.mc_fetch_luma_plane(ref_y, dy, dx), 128)
-            pred_cb = jnp.where(m_c, dispatch.mc_fetch_chroma_plane(ref_cb, cdy, cdx), 128)
-            pred_cr = jnp.where(m_c, dispatch.mc_fetch_chroma_plane(ref_cr, cdy, cdx), 128)
+            if fmt >= 4:  # half-pel mvs (SPEC.md §14)
+                pred_y = jnp.where(
+                    m_y, dispatch.mc_fetch_luma_plane_hpel(ref_y, dy, dx), 128)
+                pred_cb = jnp.where(
+                    m_c, dispatch.mc_fetch_chroma_plane_hpel(ref_cb, cdy, cdx), 128)
+                pred_cr = jnp.where(
+                    m_c, dispatch.mc_fetch_chroma_plane_hpel(ref_cr, cdy, cdx), 128)
+            else:
+                pred_y = jnp.where(m_y, dispatch.mc_fetch_luma_plane(ref_y, dy, dx), 128)
+                pred_cb = jnp.where(m_c, dispatch.mc_fetch_chroma_plane(ref_cb, cdy, cdx), 128)
+                pred_cr = jnp.where(m_c, dispatch.mc_fetch_chroma_plane(ref_cr, cdy, cdx), 128)
         else:
             pred_y = jnp.full_like(ref_y, 128)
             pred_cb = jnp.full_like(ref_cb, 128)
@@ -195,15 +203,29 @@ def _decode_gop_jit():
             dy_f, dx_f, inter_f, qp_f = xs["dy"], xs["dx"], xs["inter"], xs["qp"]
             m_y = jnp.repeat(jnp.repeat(inter_f, spec.MB, 0), spec.MB, 1)
             m_c = jnp.repeat(jnp.repeat(inter_f, spec.BLK, 0), spec.BLK, 1)
-            pred_y = jnp.where(
-                m_y, dispatch.mc_fetch_luma_plane(ref_y, dy_f, dx_f), 128
-            )
-            pred_cb = jnp.where(
-                m_c, dispatch.mc_fetch_chroma_plane(ref_cb, dy_f >> 1, dx_f >> 1), 128
-            )
-            pred_cr = jnp.where(
-                m_c, dispatch.mc_fetch_chroma_plane(ref_cr, dy_f >> 1, dx_f >> 1), 128
-            )
+            if fmt >= 4:  # half-pel mvs (SPEC.md §14)
+                pred_y = jnp.where(
+                    m_y, dispatch.mc_fetch_luma_plane_hpel(ref_y, dy_f, dx_f),
+                    128,
+                )
+                pred_cb = jnp.where(
+                    m_c, dispatch.mc_fetch_chroma_plane_hpel(
+                        ref_cb, dy_f >> 1, dx_f >> 1), 128,
+                )
+                pred_cr = jnp.where(
+                    m_c, dispatch.mc_fetch_chroma_plane_hpel(
+                        ref_cr, dy_f >> 1, dx_f >> 1), 128,
+                )
+            else:
+                pred_y = jnp.where(
+                    m_y, dispatch.mc_fetch_luma_plane(ref_y, dy_f, dx_f), 128
+                )
+                pred_cb = jnp.where(
+                    m_c, dispatch.mc_fetch_chroma_plane(ref_cb, dy_f >> 1, dx_f >> 1), 128
+                )
+                pred_cr = jnp.where(
+                    m_c, dispatch.mc_fetch_chroma_plane(ref_cr, dy_f >> 1, dx_f >> 1), 128
+                )
             qs = tx.qstep(qp_f)
             qy = jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1)
             qc = qs if cqpo == 0 else tx.qstep(

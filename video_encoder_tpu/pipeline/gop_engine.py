@@ -116,55 +116,82 @@ def rc_carry_step(rc: str, target_bits: int, vbv_bits: int, qp, fullness, bits):
     return qp, fullness
 
 
-def encode_frame_traced(
-    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
-    *, is_p: bool, search: str, rc: str, block_words: int, cap_words: int,
-    fmt: int = 1, cqpo: int = 0, qbias: int = 8, qmat: bool = False,
-    islice: int = 0, emit: str = "frame",
-):
-    """One frame, traceable; is_p/search/rc/fmt/cqpo/qbias/qmat are static.
+def predict_p_traced(cur_y, ref_y, ref_cb, ref_cr, icost,
+                     *, search: str, fmt: int):
+    """P-frame prediction stage (C5-C8): ME (+ the v4 half-pel refine),
+    mode decision, MC. Returns (dy, dx, is_inter, pred_y, pred_cb,
+    pred_cr); for fmt >= 4 the vectors are half-pel units (SPEC.md §14).
 
-    emit="frame": the device assembles the whole frame payload
-    (tree_concat) — the pre-r3 behavior, kept for the sharded/ring paths.
-    emit="chunks": the device stops at fixed-size chunk strings
-    (entropy.pack_frame_chunks*) and the host mux concatenates them —
-    removes the ~5.2 ms/frame device-side assembly (SURVEY.md §7.0).
-
-    fmt=2 selects the SPEC.md §12 syntax (left-MV prediction, DC DPCM,
-    chroma QP offset); fmt=3 adds I-frame vertical intra prediction (a
-    lax.scan over block rows — SPEC.md §13.1) and the optional quant
-    matrix; the search/recon math is otherwise format-independent."""
-    dc, icost = motion.intra_cost_and_dc(cur_y)
-    nby, nbx = icost.shape
-
-    if is_p:
-        # hier was retired from the device engines in r4: measured strictly
-        # dominated on TPU (44 vs 99 fps at 1080p AND worse RD at every qp —
-        # BASELINE.md round-2/3 mode tables). It survives as a host-side
-        # search in the golden model + C++ oracle (SPEC.md §9).
-        if search == "full":
-            dy, dx, best_sad = dispatch.full_search(cur_y, ref_y)
-        elif search == "diamond":
-            dy, dx, best_sad = dispatch.diamond_search(cur_y, ref_y)
-        else:
-            raise ValueError(
-                f"search={search!r} is not a device-engine mode (full, "
-                "diamond); hier is golden/oracle-only (BASELINE.md)"
-            )
-        is_inter = best_sad <= icost
-        m_y = jnp.repeat(jnp.repeat(is_inter, spec.MB, 0), spec.MB, 1)
-        m_c = jnp.repeat(jnp.repeat(is_inter, spec.BLK, 0), spec.BLK, 1)
-        cdy, cdx = dy >> 1, dx >> 1
+    hier was retired from the device engines in r4: measured strictly
+    dominated on TPU (44 vs 99 fps at 1080p AND worse RD at every qp —
+    BASELINE.md round-2/3 mode tables). It survives as a host-side search
+    in the golden model + C++ oracle (SPEC.md §9)."""
+    if search == "full":
+        dy, dx, best_sad = dispatch.full_search(cur_y, ref_y)
+    elif search == "diamond":
+        dy, dx, best_sad = dispatch.diamond_search(cur_y, ref_y)
+    else:
+        raise ValueError(
+            f"search={search!r} is not a device-engine mode (full, "
+            "diamond); hier is golden/oracle-only (BASELINE.md)"
+        )
+    if fmt >= 4:
+        # v4 (SPEC.md §14.4): refine to half-pel; dy/dx are half-pel
+        # units from here on (mvd coding included)
+        dy, dx, best_sad = dispatch.hpel_refine(cur_y, ref_y, dy, dx)
+    is_inter = best_sad <= icost
+    m_y = jnp.repeat(jnp.repeat(is_inter, spec.MB, 0), spec.MB, 1)
+    m_c = jnp.repeat(jnp.repeat(is_inter, spec.BLK, 0), spec.BLK, 1)
+    cdy, cdx = dy >> 1, dx >> 1
+    if fmt >= 4:
+        pred_y = jnp.where(
+            m_y, dispatch.mc_fetch_luma_plane_hpel(ref_y, dy, dx), 128)
+        pred_cb = jnp.where(
+            m_c, dispatch.mc_fetch_chroma_plane_hpel(ref_cb, cdy, cdx), 128)
+        pred_cr = jnp.where(
+            m_c, dispatch.mc_fetch_chroma_plane_hpel(ref_cr, cdy, cdx), 128)
+    else:
         pred_y = jnp.where(m_y, dispatch.mc_fetch_luma_plane(ref_y, dy, dx), 128)
         pred_cb = jnp.where(m_c, dispatch.mc_fetch_chroma_plane(ref_cb, cdy, cdx), 128)
         pred_cr = jnp.where(m_c, dispatch.mc_fetch_chroma_plane(ref_cr, cdy, cdx), 128)
-    else:
-        dy = jnp.zeros((nby, nbx), jnp.int32)
-        dx = jnp.zeros((nby, nbx), jnp.int32)
-        is_inter = jnp.zeros((nby, nbx), jnp.bool_)
-        pred_y = jnp.full_like(cur_y, 128)
-        pred_cb = jnp.full_like(cur_cb, 128)
-        pred_cr = jnp.full_like(cur_cr, 128)
+    return dy, dx, is_inter, pred_y, pred_cb, pred_cr
+
+
+def predict_i_traced(cur_y, cur_cb, cur_cr, nby: int, nbx: int):
+    """I-frame 'prediction': flat 128 planes, zero vectors."""
+    return (
+        jnp.zeros((nby, nbx), jnp.int32),
+        jnp.zeros((nby, nbx), jnp.int32),
+        jnp.zeros((nby, nbx), jnp.bool_),
+        jnp.full_like(cur_y, 128),
+        jnp.full_like(cur_cb, 128),
+        jnp.full_like(cur_cr, 128),
+    )
+
+
+def code_pack_traced(
+    cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr,
+    dy, dx, is_inter, is_p, base_qp, icost,
+    *, rc: str, block_words: int, cap_words: int, fmt: int = 1,
+    cqpo: int = 0, qbias: int = 8, qmat: bool = False, islice: int = 0,
+    emit: str = "frame",
+):
+    """Shared transform/quant/recon + entropy pack stage.
+
+    is_p may be a python bool (static callers: ring, tiles, entry) or a
+    traced scalar (the GOP scan, where the I/P cond wraps ONLY the
+    prediction stage). Keeping this stage OUTSIDE the scan's lax.cond is
+    structural, not stylistic: XLA stack-allocates a cond branch's
+    pallas-call operands/results in 16 MB scoped VMEM, and the pack
+    kernels (block_pack + super_merge) overflowed it (r4: bw=24 1080p
+    17.3M, chunks 31.3M, v4-tiny 21.9M — axon compile logs). It also
+    compiles the pack once instead of once per branch.
+
+    emit="frame": the device assembles the whole frame payload
+    (tree_concat). emit="chunks": the device stops at span strings
+    (entropy.pack_frame_chunks*, super_merge kernel) and the host mux
+    concatenates them."""
+    nby, nbx = icost.shape
 
     if emit == "chunks":
         packc = (entropy.pack_frame_chunks_v2 if fmt >= 2
@@ -179,28 +206,39 @@ def encode_frame_traced(
         pack = (entropy.pack_frame_planes_v2 if fmt >= 2
                 else entropy.pack_frame_planes)
 
-    def code(qps):
-        """Levels + recon at the given per-MB qps: the normal predicted
-        path, or the v3 I-frame vertical-intra row scan (SPEC.md §13.1)."""
-        if fmt >= 3 and not is_p:
-            qs = tx.qstep(qps)
-            qs_y = tx.qsteps_pos(jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1), qmat)
-            qs_c = tx.qsteps_pos(
-                qs if cqpo == 0 else tx.qstep(
-                    jnp.clip(qps + cqpo, spec.QP_MIN, spec.QP_MAX)
-                ),
-                qmat,
-            )
-            lv_y, rec_y = tx.intra_rows_code_plane(cur_y, qs_y, qbias, 2 * islice)
-            lv_cb, rec_cb = tx.intra_rows_code_plane(cur_cb, qs_c, qbias, islice)
-            lv_cr, rec_cr = tx.intra_rows_code_plane(cur_cr, qs_c, qbias, islice)
-            return (
-                (tx.zigzag(lv_y), tx.zigzag(lv_cb), tx.zigzag(lv_cr)),
-                rec_y, rec_cb, rec_cr,
-            )
+    def code_pred(qps):
+        """The predicted coding path (I frames hit it with flat-128 pred
+        for fmt < 3)."""
         return _code_frame(
             cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, qps,
             cqpo if fmt >= 2 else 0, qbias, qmat,
+        )
+
+    def code_intra3(qps):
+        """v3+ I-frame vertical-intra row scan (SPEC.md §13.1)."""
+        qs = tx.qstep(qps)
+        qs_y = tx.qsteps_pos(jnp.repeat(jnp.repeat(qs, 2, 0), 2, 1), qmat)
+        qs_c = tx.qsteps_pos(
+            qs if cqpo == 0 else tx.qstep(
+                jnp.clip(qps + cqpo, spec.QP_MIN, spec.QP_MAX)
+            ),
+            qmat,
+        )
+        lv_y, rec_y = tx.intra_rows_code_plane(cur_y, qs_y, qbias, 2 * islice)
+        lv_cb, rec_cb = tx.intra_rows_code_plane(cur_cb, qs_c, qbias, islice)
+        lv_cr, rec_cr = tx.intra_rows_code_plane(cur_cr, qs_c, qbias, islice)
+        return (
+            (tx.zigzag(lv_y), tx.zigzag(lv_cb), tx.zigzag(lv_cr)),
+            rec_y, rec_cb, rec_cr,
+        )
+
+    def code(qps):
+        if fmt < 3:
+            return code_pred(qps)
+        if isinstance(is_p, bool):  # static callers resolve the branch now
+            return code_pred(qps) if is_p else code_intra3(qps)
+        return jax.lax.cond(
+            is_p, lambda: code_pred(qps), lambda: code_intra3(qps)
         )
 
     if rc == "adaptive":
@@ -245,6 +283,34 @@ def encode_frame_traced(
     return out
 
 
+def encode_frame_traced(
+    cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
+    *, is_p: bool, search: str, rc: str, block_words: int, cap_words: int,
+    fmt: int = 1, cqpo: int = 0, qbias: int = 8, qmat: bool = False,
+    islice: int = 0, emit: str = "frame",
+):
+    """One frame, traceable, with STATIC is_p — the composition of
+    predict_{p,i}_traced + code_pack_traced used by the ring/tile shards
+    and __graft_entry__ (the GOP scan composes the stages itself so the
+    I/P cond wraps only the prediction — see code_pack_traced)."""
+    dc, icost = motion.intra_cost_and_dc(cur_y)
+    nby, nbx = icost.shape
+    if is_p:
+        dy, dx, is_inter, pred_y, pred_cb, pred_cr = predict_p_traced(
+            cur_y, ref_y, ref_cb, ref_cr, icost, search=search, fmt=fmt
+        )
+    else:
+        dy, dx, is_inter, pred_y, pred_cb, pred_cr = predict_i_traced(
+            cur_y, cur_cb, cur_cr, nby, nbx
+        )
+    return code_pack_traced(
+        cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr,
+        dy, dx, is_inter, is_p, base_qp, icost,
+        rc=rc, block_words=block_words, cap_words=cap_words, fmt=fmt,
+        cqpo=cqpo, qbias=qbias, qmat=qmat, islice=islice, emit=emit,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("search", "rc", "block_words", "cap_words", "target_bits",
@@ -270,17 +336,23 @@ def encode_gop_jit(
         cur_cr = xs["cr"].astype(jnp.int32)
         idx = xs["i"]
 
-        kw = dict(search=search, rc=rc, block_words=block_words,
-                  cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias,
-                  qmat=qmat, islice=islice, emit=emit)
-        out = jax.lax.cond(
+        # the I/P cond wraps ONLY the prediction stage; code+pack run
+        # unconditionally with a traced is_p (see code_pack_traced on why
+        # this structure is required, not just cheaper to compile)
+        dc, icost = motion.intra_cost_and_dc(cur_y)
+        nby, nbx = icost.shape
+        dy, dx, is_inter, pred_y, pred_cb, pred_cr = jax.lax.cond(
             idx > 0,
-            lambda: encode_frame_traced(
-                cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp, is_p=True, **kw
+            lambda: predict_p_traced(
+                cur_y, ref_y, ref_cb, ref_cr, icost, search=search, fmt=fmt
             ),
-            lambda: encode_frame_traced(
-                cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp, is_p=False, **kw
-            ),
+            lambda: predict_i_traced(cur_y, cur_cb, cur_cr, nby, nbx),
+        )
+        out = code_pack_traced(
+            cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr,
+            dy, dx, is_inter, idx > 0, qp, icost,
+            rc=rc, block_words=block_words, cap_words=cap_words, fmt=fmt,
+            cqpo=cqpo, qbias=qbias, qmat=qmat, islice=islice, emit=emit,
         )
         qp_used = qp
         qp, fullness = rc_carry_step(
@@ -337,16 +409,8 @@ def encode_gop_batch_jit(
     two-pass). Returns outs with [T, G, ...] leading axes.
     """
     g, t_frames = y_u8.shape[0], y_u8.shape[1]
-    kw = dict(search=search, rc=rc, block_words=block_words,
-              cap_words=cap_words, fmt=fmt, cqpo=cqpo, qbias=qbias, qmat=qmat,
-              islice=islice, emit=emit)
-
-    def enc(is_p):
-        def one(cy, ccb, ccr, ry, rcb, rcr, qp):
-            return encode_frame_traced(
-                cy, ccb, ccr, ry, rcb, rcr, qp, is_p=is_p, **kw
-            )
-        return jax.vmap(one)
+    ckw = dict(rc=rc, block_words=block_words, cap_words=cap_words, fmt=fmt,
+               cqpo=cqpo, qbias=qbias, qmat=qmat, islice=islice, emit=emit)
 
     def body(carry, xs):
         ref_y, ref_cb, ref_cr, qp, fullness = carry
@@ -354,12 +418,31 @@ def encode_gop_batch_jit(
         cur_cb = xs["cb"].astype(jnp.int32)
         cur_cr = xs["cr"].astype(jnp.int32)
         idx = xs["i"]                        # scalar: GOPs run in lockstep,
-        # so the I/P branch stays a scan-level cond outside the vmap.
-        out = jax.lax.cond(
+        # so the I/P branch stays a scan-level cond outside the vmap — and
+        # wraps ONLY the prediction stage (see code_pack_traced)
+        dc_icost = jax.vmap(motion.intra_cost_and_dc)(cur_y)
+        icost = dc_icost[1]
+        nby, nbx = icost.shape[1], icost.shape[2]
+        dy, dx, is_inter, pred_y, pred_cb, pred_cr = jax.lax.cond(
             idx > 0,
-            lambda: enc(True)(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp),
-            lambda: enc(False)(cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, qp),
+            lambda: jax.vmap(
+                lambda cy, ry, rcb, rcr, ic: predict_p_traced(
+                    cy, ry, rcb, rcr, ic, search=search, fmt=fmt
+                )
+            )(cur_y, ref_y, ref_cb, ref_cr, icost),
+            lambda: jax.vmap(
+                lambda cy, ccb, ccr: predict_i_traced(cy, ccb, ccr, nby, nbx)
+            )(cur_y, cur_cb, cur_cr),
         )
+        out = jax.vmap(
+            lambda cy, ccb, ccr, py, pcb, pcr, dy_, dx_, it_, qp_, ic: (
+                code_pack_traced(
+                    cy, ccb, ccr, py, pcb, pcr, dy_, dx_, it_, idx > 0,
+                    qp_, ic, **ckw
+                )
+            )
+        )(cur_y, cur_cb, cur_cr, pred_y, pred_cb, pred_cr, dy, dx, is_inter,
+          qp, icost)
         qp_used = qp
         # rc_carry_step is elementwise over [G] qp/fullness/bits
         qp, fullness = rc_carry_step(
