@@ -131,6 +131,10 @@ def main():
     kw = dict(
         search="full", rc="none", block_words=_block_words_for_qp(30),
         cap_words=entropy.capacity_words(n_mbs, 1024), target_bits=0,
+        # r4 production path: span-string emission (GopEngine.emit default)
+        # — the two-stage super merge runs on device, the host mux glues
+        # the ~128 span strings per frame
+        emit="chunks",
     )
 
     def device_fps(t, reps):

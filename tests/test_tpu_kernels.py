@@ -147,3 +147,50 @@ def test_block_pack_kernel_on_chip(rng, fmt):
     got_w, got_b = ep.block_pack(jnp.asarray(lv), jnp.asarray(dcp), fmt, words)
     assert np.array_equal(np.asarray(want_b), np.asarray(got_b))
     assert np.array_equal(np.asarray(want_w), np.asarray(got_w))
+
+
+def test_block_pack_worst_case_budget_compiles(rng):
+    """The xl rerun (block_words = BLOCK_WORDS_MAX) is the correctness
+    escape hatch for budget overflows — it must ALWAYS compile. At 1080p
+    scale the W=78 output previously blew XLA's 16 MB scoped-VMEM budget
+    (r4); the chunked block_pack call bounds every pallas scope."""
+    from video_encoder_tpu.codec import entropy
+    from video_encoder_tpu.ops.pallas import entropy_pack as ep
+
+    n, words = 32768, entropy.BLOCK_WORDS_MAX
+    lv = np.where(rng.random((n, 64)) < 0.5,
+                  rng.integers(-3925, 3926, (n, 64)), 0).astype(np.int32)
+    got_w, got_b = ep.block_pack(jnp.asarray(lv), None, 1, words)
+    v, l = entropy.block_symbols(jnp.asarray(lv[:512]))
+    want_w, want_b, _ = entropy.pack_dense(v, l, words)
+    assert np.array_equal(np.asarray(want_b), np.asarray(got_b[:512]))
+    assert np.array_equal(np.asarray(want_w), np.asarray(got_w[:512]))
+
+
+def test_gop_engine_overflow_rerun_on_chip(rng):
+    """A qp-4 GOP floods the budgeted pack: the worst-case rerun must
+    produce the same bytes as the golden engine ON THE CHIP (this exact
+    path failed to compile before the chunked block_pack)."""
+    from video_encoder_tpu.codec.config import EncoderConfig
+    from video_encoder_tpu.codec.golden import Frame
+    from video_encoder_tpu.pipeline.gop_engine import GopEngine
+
+    w, h, n = 96, 64, 3
+    frames = [
+        (rng.integers(0, 256, (h, w)).astype(np.uint8),
+         rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+         rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
+        for _ in range(n)
+    ]
+    cfg = EncoderConfig(width=w, height=h, gop_n=n, base_qp=4, search="full")
+    pk, _ = GopEngine(cfg).encode_gop(
+        [Frame.from_planes(*f) for f in frames], 0)
+    from video_encoder_tpu.codec import golden as g
+
+    ref = None
+    for t, f in enumerate(frames):
+        cur = Frame.from_planes(*f)
+        res = g.encode_frame(cfg, cur, ref, 0 if t == 0 else 1, 4)
+        assert pk[t].payload == res.payload, f"frame {t} bytes differ"
+        assert pk[t].payload_bits == res.payload_bits
+        ref = res.recon

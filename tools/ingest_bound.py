@@ -72,16 +72,25 @@ def main():
     results["upload_ms_per_gop"] = round(upload_ms, 1)
     results["upload_MBs"] = round(bytes_per_gop / upload_ms / 1e3, 1)
 
-    # compute alone (device-resident)
+    # compute alone (device-resident). Sync uploads with HOST FETCHES:
+    # block_until_ready returns early on the axon backend (repo memory),
+    # which silently bled upload time into this measurement.
     ys = [jnp.asarray(np.stack([f.y for f in g])) for g in gops]
     cbs = [jnp.asarray(np.stack([f.cb for f in g])) for g in gops]
     crs = [jnp.asarray(np.stack([f.cr for f in g])) for g in gops]
-    jax.block_until_ready((ys, cbs, crs))
+    for a in (*ys, *cbs, *crs):
+        np.asarray(a[0, :1, :1])
+    # keep every dispatch's outputs ALIVE until after timing: dropping a
+    # GOP's output dict mid-loop frees ~10 device buffers over the axon
+    # tunnel, and those deallocation RPCs serialized into the measurement
+    # (~100 ms/GOP of phantom "compute" in earlier runs)
+    kept = []
     t0 = time.perf_counter()
     for k in range(NGOPS):
-        outs = eng._run(ys[k], cbs[k], crs[k], cfg.base_qp, xl=False)
-    np.asarray(outs["bits"])
+        kept.append(eng._run(ys[k], cbs[k], crs[k], cfg.base_qp, xl=False))
+    np.asarray(kept[-1]["bits"])
     compute_ms = (time.perf_counter() - t0) / NGOPS * 1e3
+    del kept
     results["compute_ms_per_gop"] = round(compute_ms, 1)
 
     # serial: upload then encode, per GOP, synchronized

@@ -650,7 +650,7 @@ def _pieces_to_chunks(piece_words: jnp.ndarray, piece_bits: jnp.ndarray,
     cwords, cbits = jax.vmap(
         lambda b, l: tree_concat(b, l, cw)
     )(piece_words.reshape(n_strings, h, w), piece_bits.reshape(n_strings, h))
-    return cwords, cbits
+    return cwords, cbits, jnp.asarray(False)
 
 
 def pack_frame_chunks(
@@ -667,11 +667,11 @@ def pack_frame_chunks(
         levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
         dy, dx, block_words,
     )
-    cwords, cbits = _pieces_to_chunks(
+    cwords, cbits, ovf_m = _pieces_to_chunks(
         piece_words.reshape(n_mbs * 8, block_words),
         piece_bits.reshape(n_mbs * 8), block_words,
     )
-    return cwords, cbits, mb_bits.reshape(nby, nbx), ovf
+    return cwords, cbits, mb_bits.reshape(nby, nbx), ovf | ovf_m
 
 
 def pack_frame_chunks_v2(
@@ -685,11 +685,11 @@ def pack_frame_chunks_v2(
         levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
         dy, dx, block_words,
     )
-    cwords, cbits = _pieces_to_chunks(
+    cwords, cbits, ovf_m = _pieces_to_chunks(
         piece_words.reshape(n_mbs * 8, block_words),
         piece_bits.reshape(n_mbs * 8), block_words,
     )
-    return cwords, cbits, mb_bits.reshape(nby, nbx), ovf
+    return cwords, cbits, mb_bits.reshape(nby, nbx), ovf | ovf_m
 
 
 def _shift_words_right(x: jnp.ndarray, k: int) -> jnp.ndarray:

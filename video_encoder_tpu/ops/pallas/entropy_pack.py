@@ -189,18 +189,33 @@ def _make_block_pack_kernel(fmt: int, n_words: int, batched: bool):
                 _contrib(v, l, o, live) for (v, l, o, live) in planes
             )
         ]
-        parts = []
-        for w in range(n_words):
-            acc = jnp.zeros((lv.shape[0], 1), jnp.int32)
+        # Word assembly as a fori_loop (NOT a python unroll): mosaic keeps
+        # every unrolled iteration's [BT, 64] masked-sum temporaries live,
+        # which cost ~53 MB of scoped VMEM at the worst-case W=78 (compile
+        # failure, r4) — the loop carry bounds it at O(one iteration). The
+        # bound is data-dependent: no symbol reaches past the tile's
+        # largest bit count, so iterate to ceil(max bits / 32) + 1 words
+        # instead of the capacity width (typical blocks fill ~4 of 16).
+        lanes_w = jax.lax.broadcasted_iota(jnp.int32, (lv.shape[0], n_words), 1)
+
+        def wbody(w, acc):
+            col = jnp.zeros((lv.shape[0], 1), jnp.int32)
             for w1, c1, c2 in contribs:
-                acc = acc + jnp.sum(
+                col = col + jnp.sum(
                     jnp.where(w1 == w, c1, 0), axis=1, keepdims=True
                 )
-                acc = acc + jnp.sum(
+                col = col + jnp.sum(
                     jnp.where(w1 + 1 == w, c2, 0), axis=1, keepdims=True
                 )
-            parts.append(acc)
-        words = pltpu.bitcast(jnp.concatenate(parts, axis=1), jnp.uint32)
+            return jnp.where(lanes_w == w, col, acc)
+
+        n_dyn = jnp.minimum(((jnp.max(bits) + 63) >> 5) + 1, n_words)
+        words = pltpu.bitcast(
+            jax.lax.fori_loop(
+                0, n_dyn, wbody, jnp.zeros((lv.shape[0], n_words), jnp.int32)
+            ),
+            jnp.uint32,
+        )
         if batched:
             out_w_ref[0] = words
             out_b_ref[0] = bits
@@ -249,9 +264,27 @@ def _block_pack_impl(levels_zz, dc_pred, fmt: int, n_words: int,
     if n2 != n:
         levels_zz = jnp.pad(levels_zz, ((0, n2 - n), (0, 0)))
         dc_pred = jnp.pad(dc_pred, ((0, n2 - n), (0, 0)))
-    words, bits = _block_pack_call(n2 // BT, fmt, n_words, interpret)(
-        levels_zz.astype(jnp.int16), dc_pred.astype(jnp.int16)
-    )
+    lv = levels_zz.astype(jnp.int16)
+    dcp = dc_pred.astype(jnp.int16)
+    # Keep each pallas call's output under ~4 MB: XLA may stack-allocate a
+    # call's buffers in the 16 MB scoped-VMEM budget, and the worst-case
+    # word budget (the xl rerun, n_words = 78) overflowed it at 1080p
+    # scale (axon compile log, r4). Chunking the block axis bounds every
+    # call's scope; blocks are independent so the split is free.
+    max_out = 4 << 20
+    if n2 * n_words * 4 > max_out:
+        step = max((max_out // (n_words * 4)) // BT, 1) * BT
+        parts = [
+            _block_pack_call(min(step, n2 - s0) // BT, fmt, n_words,
+                             interpret)(lv[s0:s0 + step], dcp[s0:s0 + step])
+            for s0 in range(0, n2, step)
+        ]
+        words = jnp.concatenate([p[0] for p in parts])
+        bits = jnp.concatenate([p[1] for p in parts])
+    else:
+        words, bits = _block_pack_call(n2 // BT, fmt, n_words, interpret)(
+            lv, dcp
+        )
     return words[:n], bits[:n, 0]
 
 

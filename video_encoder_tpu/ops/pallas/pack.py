@@ -1,26 +1,25 @@
-"""Pallas chunk-merge kernel for the entropy pack's bit-string reduction
+"""Pallas merge kernels for the entropy pack's bit-string reduction
 (reference component C12; SURVEY.md §1 L3 "Pallas two-pass pack").
 
-The corrected DCE ablation (tools/ablate_dce_results.json) puts the v1/v2
-entropy pack at 5.2 of the 10.5 ms/frame 1080p floor — and inside it, the
-XLA tree_concat dominates: every merge level re-streams the whole string
-array through HBM O(log W) times for the binary-decomposed word placement
-(~16 levels x ~6 MB x up to 18 passes ≈ most of the program's ~1 GB/frame
-accounted traffic). Per-piece symbol work is tiny; the merge is pure data
-movement — exactly what VMEM is for.
+Two generations live here:
 
-This kernel merges K consecutive piece strings into ONE chunk string
-entirely in VMEM: the same pairwise algorithm as entropy.tree_concat
-(carry shift + binary-decomposed word placement), but every intermediate
-level lives on-chip, so HBM sees only the K*W-word input once and the
-chunk string once. The few chunk strings are then folded on the XLA side
-with per-chunk dynamic_update_slice placement (codec/entropy.py
-tree_concat_chunked) — cheap because there are only a handful.
+- chunk_merge (r3): K consecutive piece strings -> one chunk string per
+  VMEM kernel instance. Measured EQUAL to the XLA tree_concat it
+  replaced — both are bound by the same placement-pass work, and the
+  per-instance reduction goes sublane-ragged past n=8.
+- super_merge (r4, production): the same pairwise reduction restructured
+  so every level stays sublane-full (two kernel stages: 1024 pieces -> 8
+  strings, then 32 strings -> 8), the word placement runs as a fori_loop
+  of DYNAMIC rotates bounded by the largest actual word offset (not the
+  capacity width), and intermediate level widths are budgeted at half the
+  worst case with exact overflow detection feeding the caller's
+  worst-case rerun. Each change is measured in BASELINE.md round-4.
 
-Bit-exact with entropy.tree_concat by construction (same reduction order:
-left-associative over pieces in index order — concatenation is
-associative, so any bracketing yields the same bit string; equality is
-asserted on TPU in tests/test_tpu_kernels.py and tools/check_pack.py).
+Bit-exact with entropy.tree_concat by construction when no budget
+overflow is reported (same reduction order: left-associative over pieces
+in index order — concatenation is associative, so any bracketing yields
+the same bit string; equality is asserted on TPU in
+tests/test_tpu_kernels.py and tools/check_pack.py).
 """
 
 from __future__ import annotations
@@ -84,8 +83,17 @@ def _merge_level(buf, bits, w: int, w_out: int):
         shifted = jnp.where(lanes >= sh, pltpu.roll(b, sh, 1), 0)
         return jnp.where(hit, shifted, b)
 
+    # loop bound = bitlength of the LARGEST actual word offset this level
+    # (traced), not of the capacity width: strings typically fill ~1/12 of
+    # their worst-case budget, so most of the static bound's iterations
+    # are no-ops on every row — data-dependent iteration count, identical
+    # bits (place() is the identity for k >= bitlen(max base)).
     nbk = max(1, (w_out - 1).bit_length())
-    bs = jax.lax.fori_loop(0, nbk, place, bsp)[:, :w_out]
+    max_base = jnp.max(base)
+    nbk_dyn = jnp.zeros((), jnp.int32)
+    for k in range(nbk):
+        nbk_dyn = nbk_dyn + (max_base >= (1 << k)).astype(jnp.int32)
+    bs = jax.lax.fori_loop(0, nbk_dyn, place, bsp)[:, :w_out]
 
     a_pad = jnp.pad(a, ((0, 0), (0, w_out - w)))
     return a_pad | bs, bits_a + bits_b
@@ -233,29 +241,44 @@ def span_geometry(n_pieces: int, w: int):
     return n2, h, h * w + 1, (n2 // k) * 8
 
 
-def _make_reduce_kernel(g: int, w: int, stop: int, cw: int):
-    """Merge each [g, w] group of strings down to [stop, cw] in VMEM."""
+def _make_reduce_kernel(g: int, w: int, stop: int, cw: int,
+                        bpp_w: int, wpp: int):
+    """Merge each [g, w] group of strings down to [stop, cw] in VMEM.
 
-    def kernel(pw_ref, pb_ref, out_w_ref, out_b_ref):
+    bpp_w budgets the INTERMEDIATE level widths: a string of m pieces is
+    given min(exact, bpp_w*m + 1) words. Typical strings fill ~1/12 of
+    their worst case, so a half-budget (bpp_w = block_words/2) halves the
+    merge's placement work; truncation is detected exactly (a level whose
+    true bit count exceeds its width sets the ovf output) and the caller's
+    worst-case rerun re-encodes the GOP unbudgeted. wpp = pieces per
+    input string (1 for stage 1)."""
+
+    def kernel(pw_ref, pb_ref, out_w_ref, out_b_ref, ovf_ref):
         buf = pw_ref[0]
         bits = pb_ref[0]
         n, width = g, w
+        m = wpp
+        ovf = jnp.zeros((1, 1), jnp.int32)
         while n > stop:
-            w_out = min(2 * width + 1, cw)
+            m *= 2
+            w_out = min(2 * width + 1, min(cw, bpp_w * m + 1))
             buf, bits = _merge_level(buf, bits, width, w_out)
+            ovf = ovf | (jnp.max(bits) > 32 * w_out).astype(jnp.int32)
             width = w_out
             n //= 2
         if width < cw:
             buf = jnp.pad(buf, ((0, 0), (0, cw - width)))
         out_w_ref[0] = buf
         out_b_ref[0] = bits
+        ovf_ref[0] = ovf
 
     return kernel
 
 
 @functools.lru_cache(maxsize=32)
-def _reduce_call(n_groups: int, g: int, w: int, stop: int, cw: int):
-    kernel = _make_reduce_kernel(g, w, stop, cw)
+def _reduce_call(n_groups: int, g: int, w: int, stop: int, cw: int,
+                 bpp_w: int, wpp: int):
+    kernel = _make_reduce_kernel(g, w, stop, cw, bpp_w, wpp)
 
     def call(strings, bits):
         return pl.pallas_call(
@@ -272,35 +295,53 @@ def _reduce_call(n_groups: int, g: int, w: int, stop: int, cw: int):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, stop, 1), lambda c: (c, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_groups, stop, cw), jnp.uint32),
                 jax.ShapeDtypeStruct((n_groups, stop, 1), jnp.int32),
+                jax.ShapeDtypeStruct((n_groups, 1, 1), jnp.int32),
             ],
         )(strings, bits)
 
     return call
 
 
-def _reduce(strings, bits, g: int, stop: int, cw: int):
+def _reduce(strings, bits, g: int, stop: int, cw: int, bpp_w: int, wpp: int):
     n, w = strings.shape
-    call = _reduce_call(n // g, g, w, stop, cw)
-    sw, sb = call(
+    call = _reduce_call(n // g, g, w, stop, cw, bpp_w, wpp)
+    sw, sb, ov = call(
         strings.reshape(n // g, g, w),
         bits.reshape(n // g, g, 1).astype(jnp.int32),
     )
-    return sw.reshape(n // g * stop, cw), sb.reshape(n // g * stop)
+    return sw.reshape(n // g * stop, -1), sb.reshape(n // g * stop), ov.any()
+
+
+def _merge_budget(w: int) -> int:
+    """Intermediate-width budget in words per piece. DISABLED (= exact):
+    a sub-capacity budget only pays at small group sizes, where it binds
+    on LOCAL density — two adjacent dense blocks overflow a halved m=2
+    cap at ordinary qp (measured: frequent worst-case reruns on the bench
+    content), while at span scale (where averaging holds) the capacity
+    levels are only the tail of the work. The overflow plumbing stays so
+    a future large-m-only budget is a one-line change."""
+    return w
 
 
 def _super_merge_impl(buffers: jnp.ndarray, bits: jnp.ndarray):
     n, w = buffers.shape
     n2, h, cw, n_strings = span_geometry(n, w)
     assert n == n2, "caller pads to span_geometry's padded_n"
+    bpp_w = _merge_budget(w)
     if h == 512:  # two-stage production shape
-        cw1 = 128 * w + 1
-        s1w, s1b = _reduce(buffers, bits, 1024, 8, cw1)
-        return _reduce(s1w, s1b, 32, 8, cw)
-    return _reduce(buffers, bits, h * 8, 8, cw)
+        cw1 = min(128 * w + 1, bpp_w * 128 + 1)
+        s1w, s1b, ov1 = _reduce(buffers, bits, 1024, 8, cw1, bpp_w, 1)
+        sw, sb, ov2 = _reduce(s1w, s1b, 32, 8,
+                              min(cw, bpp_w * 512 + 1), bpp_w, 128)
+        return sw, sb, ov1 | ov2
+    return _reduce(buffers, bits, h * 8, 8,
+                   min(cw, bpp_w * h + 1), bpp_w, 1)
 
 
 @functools.lru_cache(maxsize=2)
@@ -316,12 +357,14 @@ def _super_merge_public():
         if not in_batched[1]:
             bits = jnp.broadcast_to(bits, (axis_size,) + bits.shape)
         g, n, w = buffers.shape
-        _, _, cw, n_strings = span_geometry(n, w)
-        cw_, cb_ = _super_merge_impl(
+        _, _, _, n_strings = span_geometry(n, w)
+        cw_, cb_, ov = _super_merge_impl(
             buffers.reshape(g * n, w), bits.reshape(g * n)
         )
-        return (cw_.reshape(g, n_strings, cw),
-                cb_.reshape(g, n_strings)), (True, True)
+        # one span's overflow triggers the caller's whole-batch rerun, so
+        # the scalar flag broadcasts over the batch axis
+        return (cw_.reshape(g, n_strings, -1), cb_.reshape(g, n_strings),
+                jnp.broadcast_to(ov, (g,))), (True, True, True)
 
     return fn
 
@@ -331,6 +374,8 @@ def super_merge(buffers: jnp.ndarray, bits: jnp.ndarray):
 
     buffers [n, w] uint32, bits [n] int32; n must equal span_geometry's
     padded_n (pad with zero-length pieces). Returns (strings
-    [n_strings, cw] uint32, bits [n_strings]) in piece order; byte-exact
-    with entropy.tree_concat over each span's pieces."""
+    [n_strings, <=cw] uint32, bits [n_strings], overflow) in piece order;
+    when overflow is False the strings are byte-exact with
+    entropy.tree_concat over each span's pieces (intermediate widths are
+    budgeted — see _merge_budget — and overflow reports any truncation)."""
     return _super_merge_public()(buffers, bits)

@@ -492,12 +492,14 @@ class GopEngine:
     """
 
     # Device-side frame assembly vs host-muxed chunk strings: both are
-    # bit-exact (tests/test_gop_engine.py runs the engine under each); the
-    # measured 1080p rates are equal within noise (tools/
-    # check_pack_results.json — the VMEM chunk merge pays in VPU shuffles
-    # what it saves in HBM), so the simpler frame path stays the default.
-    # A fused symbols+pack kernel is the remaining pack lever (ROADMAP).
-    emit = "frame"
+    # bit-exact (tests/test_gop_engine.py runs the engine under each).
+    # r4: chunks is the production default — the two-stage sublane-full
+    # super merge with the data-dependent placement bound measured 9.90
+    # ms/frame at 1080p vs 10.52 for the on-device frame assembly
+    # (/tmp session logs -> tools/check_fused_pack_results.json); the
+    # ~128 span strings per frame are glued by the host mux, overlapped
+    # with device compute by the async driver (SURVEY.md §7.0).
+    emit = "chunks"
 
     def __init__(self, cfg: EncoderConfig):
         if cfg.search not in ("full", "diamond"):
