@@ -194,3 +194,55 @@ def test_gop_engine_overflow_rerun_on_chip(rng):
         assert pk[t].payload == res.payload, f"frame {t} bytes differ"
         assert pk[t].payload_bits == res.payload_bits
         ref = res.recon
+
+
+def test_hpel_refine_on_chip(rng):
+    """v4 half-pel refinement through the Pallas sad_at_mv kernels vs the
+    golden reference (SPEC.md §14.4) on the real chip."""
+    from video_encoder_tpu.codec import golden
+    from video_encoder_tpu.ops import dispatch
+
+    h, w = 144, 208
+    cur = rng.integers(0, 256, (h, w)).astype(np.int32)
+    ref = np.clip(np.roll(cur, (2, -3), (0, 1))
+                  + rng.integers(-6, 7, (h, w)), 0, 255).astype(np.int32)
+    idy, idx_, _ = golden.sad_full_search(cur, ref)
+    g = golden.sad_hpel_refine(cur, ref, idy, idx_)
+    p = jax.jit(dispatch.hpel_refine)(
+        jnp.asarray(cur), jnp.asarray(ref), jnp.asarray(idy),
+        jnp.asarray(idx_))
+    assert np.array_equal(g[0], np.asarray(p[0]))
+    assert np.array_equal(g[1], np.asarray(p[1]))
+    assert np.array_equal(g[2].astype(np.int64),
+                          np.asarray(p[2]).astype(np.int64))
+
+
+def test_v4_gop_stream_on_chip(rng):
+    """Full v4 GOP (hpel ME + MC + v2 syntax + chunks pack) on the chip,
+    byte-identical to the golden per-frame chain."""
+    from video_encoder_tpu.codec import golden
+    from video_encoder_tpu.codec.config import EncoderConfig
+    from video_encoder_tpu.codec.golden import Frame
+    from video_encoder_tpu.pipeline.gop_engine import GopEngine
+
+    w, h, n = 96, 64, 4
+    base = rng.integers(0, 256, (2 * h + 96, 2 * w + 96)).astype(np.float64)
+    for k in (1, 2, 4):
+        base = (base + np.roll(base, k, 0) + np.roll(base, -k, 0)
+                + np.roll(base, k, 1) + np.roll(base, -k, 1)) / 5
+    base = ((base - base.min()) / (base.max() - base.min()) * 255).astype(np.int32)
+    frames = []
+    for t in range(n):
+        y = base[16 + t : 16 + t + 2 * h : 2,
+                 32 + 3 * t : 32 + 3 * t + 2 * w : 2].astype(np.uint8)
+        frames.append((y, np.full((h // 2, w // 2), 100, np.uint8),
+                       np.full((h // 2, w // 2), 140, np.uint8)))
+    cfg = EncoderConfig(width=w, height=h, gop_n=n, base_qp=22,
+                        search="full", format_version=4)
+    pk, _ = GopEngine(cfg).encode_gop([Frame.from_planes(*f) for f in frames], 0)
+    ref = None
+    for t, f in enumerate(frames):
+        res = golden.encode_frame(cfg, Frame.from_planes(*f), ref,
+                                  0 if t == 0 else 1, 22)
+        assert pk[t].payload == res.payload, f"frame {t} bytes differ"
+        ref = res.recon

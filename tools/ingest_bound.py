@@ -80,18 +80,22 @@ def main():
     crs = [jnp.asarray(np.stack([f.cr for f in g])) for g in gops]
     for a in (*ys, *cbs, *crs):
         np.asarray(a[0, :1, :1])
-    # keep every dispatch's outputs ALIVE until after timing: dropping a
-    # GOP's output dict mid-loop frees ~10 device buffers over the axon
-    # tunnel, and those deallocation RPCs serialized into the measurement
-    # (~100 ms/GOP of phantom "compute" in earlier runs)
-    kept = []
+    # Per-dispatch host-fetch sync: chains of >1 in-flight GOP program
+    # over DISTINCT argument arrays measure ~10x slower on the axon
+    # tunnel than the same program looped on one array (an axon queueing
+    # artifact, not device time — bench.py's same-array loop shows the
+    # true 9-11 ms/frame). Each sync costs one ~24 ms tunnel round trip,
+    # which slightly overstates compute; both effects are tunnel-only.
     t0 = time.perf_counter()
     for k in range(NGOPS):
-        kept.append(eng._run(ys[k], cbs[k], crs[k], cfg.base_qp, xl=False))
-    np.asarray(kept[-1]["bits"])
+        outs = eng._run(ys[k], cbs[k], crs[k], cfg.base_qp, xl=False)
+        np.asarray(outs["bits"])
     compute_ms = (time.perf_counter() - t0) / NGOPS * 1e3
-    del kept
     results["compute_ms_per_gop"] = round(compute_ms, 1)
+    results["compute_note"] = (
+        "per-dispatch sync incl ~24 ms tunnel round trip each; "
+        "device-resident rate is bench.py's (same-array loop)"
+    )
 
     # serial: upload then encode, per GOP, synchronized
     t0 = time.perf_counter()
