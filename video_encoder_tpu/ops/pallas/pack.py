@@ -261,7 +261,11 @@ def _make_reduce_kernel(g: int, w: int, stop: int, cw: int,
         ovf = jnp.zeros((1, 1), jnp.int32)
         while n > stop:
             m *= 2
-            w_out = min(2 * width + 1, min(cw, bpp_w * m + 1))
+            w_out = min(2 * width + 1, cw)
+            if m >= 64:  # see _merge_budget: averaging holds at span scale
+                # never shrink below the incoming width (strings are
+                # already that wide; growth just stops at the budget)
+                w_out = max(min(w_out, bpp_w * m + 1), width)
             buf, bits = _merge_level(buf, bits, width, w_out)
             ovf = ovf | (jnp.max(bits) > 32 * w_out).astype(jnp.int32)
             width = w_out
@@ -319,14 +323,19 @@ def _reduce(strings, bits, g: int, stop: int, cw: int, bpp_w: int, wpp: int):
 
 
 def _merge_budget(w: int) -> int:
-    """Intermediate-width budget in words per piece. DISABLED (= exact):
-    a sub-capacity budget only pays at small group sizes, where it binds
-    on LOCAL density — two adjacent dense blocks overflow a halved m=2
-    cap at ordinary qp (measured: frequent worst-case reruns on the bench
-    content), while at span scale (where averaging holds) the capacity
-    levels are only the tail of the work. The overflow plumbing stays so
-    a future large-m-only budget is a one-line change."""
-    return w
+    """Intermediate-width budget in words per piece, applied ONLY to
+    levels of m >= 64 pieces (8+ macroblocks — the scale where averaging
+    holds; a first attempt budgeted every level and two adjacent dense
+    blocks overflowed the m=2 cap at ordinary qp, thrashing worst-case
+    reruns). At bpp_w = w/2 the >= 64-piece levels — which carry most of
+    the width-work — halve, and genuine overflows (>= 64 consecutive
+    pieces averaging > 16*bpp_w bits each) are detected exactly and
+    re-encoded through the unbudgeted worst-case path."""
+    from ...codec import entropy as _e
+
+    if w >= _e.BLOCK_WORDS_MAX:
+        return w
+    return max(w // 2, 2)
 
 
 def _super_merge_impl(buffers: jnp.ndarray, bits: jnp.ndarray):
@@ -335,13 +344,13 @@ def _super_merge_impl(buffers: jnp.ndarray, bits: jnp.ndarray):
     assert n == n2, "caller pads to span_geometry's padded_n"
     bpp_w = _merge_budget(w)
     if h == 512:  # two-stage production shape
-        cw1 = min(128 * w + 1, bpp_w * 128 + 1)
+        cw1 = min(128 * w + 1, bpp_w * 128 + 1)  # 128 >= 64: budget binds
         s1w, s1b, ov1 = _reduce(buffers, bits, 1024, 8, cw1, bpp_w, 1)
         sw, sb, ov2 = _reduce(s1w, s1b, 32, 8,
                               min(cw, bpp_w * 512 + 1), bpp_w, 128)
         return sw, sb, ov1 | ov2
-    return _reduce(buffers, bits, h * 8, 8,
-                   min(cw, bpp_w * h + 1), bpp_w, 1)
+    cap = min(cw, bpp_w * h + 1) if h >= 64 else cw
+    return _reduce(buffers, bits, h * 8, 8, cap, bpp_w, 1)
 
 
 @functools.lru_cache(maxsize=2)
