@@ -106,6 +106,11 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
             r = jax.lax.rem(dy, 8)
             q8 = pl.multiple_of(dy - r, 8)
             strip = rots[r // stride, pl.ds(q8, TH), :]  # [TH, WWA] bf16
+            # (r4 A/B: building the diff block as one VALUE — a sublane
+            # concat of the 33 slices instead of NDS scratch-ref stores +
+            # a reload — measured 7.03 vs 6.85 ms standalone with
+            # identical mvs: the ref round-trip is NOT the cost; the
+            # slice+sub+abs work itself is. Kept in ref form.)
             for di, dx in enumerate(range(0, ND, stride)):
                 # static unroll: lane slices of a value
                 cand = jax.lax.slice(strip, (0, dx), (TH, dx + TW))
