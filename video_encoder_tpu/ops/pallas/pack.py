@@ -222,21 +222,44 @@ def chunk_merge(buffers: jnp.ndarray, bits: jnp.ndarray, k: int):
 # (emit="chunks" — SURVEY.md §7.0 "host does bytes").
 # ---------------------------------------------------------------------------
 
-SUPER_K = 4096  # pieces per final span string * 8; two-stage threshold
+def _stage1_k(w: int) -> int:
+    """Pieces per reduce-kernel instance: <= 1024 AND <= 32768 words of
+    input, so no instance's unrolled level chain outgrows the 16 MB
+    scoped-VMEM stack (r4 ran k=2048 at w=24 through the mid-size window
+    and the single-stage h=256 shape compiled to a 17.83 M stack
+    allocation — axon compile log, r5; 1024*24 is the shape production
+    1080p runs, measured fine)."""
+    k = 1024
+    while k > 16 and k * w > 32768:
+        k //= 2
+    return k
+
+
+SUPER_K = 4096  # pieces per final span string * 8 at the default stage-1 k
 
 
 def span_geometry(n_pieces: int, w: int):
     """(padded_n, pieces_per_string, words_per_string, n_strings) for the
-    super merge of n_pieces piece strings of w words each."""
-    if n_pieces >= 4096:
-        n2 = -(-n_pieces // 4096) * 4096
-        cw1 = 128 * w + 1
-        cw = 4 * cw1 + 1
-        return n2, 512, cw, n2 // 512
+    super merge of n_pieces piece strings of w words each.
+
+    IDEMPOTENT on its own padded_n (span_geometry(padded_n, w) returns the
+    same tuple): the r4 version re-derived the geometry after padding and
+    a 1920-piece frame padded to 2048 flipped from the budgeted k=1024
+    shape to an unbudgeted k=2048 one that overran scoped VMEM on-chip
+    (the r4 verdict's 320x192 CLI regression)."""
+    k1 = _stage1_k(w)
+    if n_pieces > 3 * k1:
+        f = 4 * k1
+        n2 = -(-n_pieces // f) * f
+        cw1 = (k1 // 8) * w + 1
+        h = k1 // 2
+        return n2, h, 4 * cw1 + 1, n2 // h
     k = 16
-    while k * 2 <= n_pieces and k < 2048:
+    while k * 2 <= n_pieces and k < k1:
         k *= 2
     n2 = -(-n_pieces // k) * k
+    if n2 > n_pieces:
+        return span_geometry(n2, w)  # geometry OF the padded count
     h = k // 8
     return n2, h, h * w + 1, (n2 // k) * 8
 
@@ -338,16 +361,27 @@ def _merge_budget(w: int) -> int:
     return max(w // 2, 2)
 
 
-def _super_merge_impl(buffers: jnp.ndarray, bits: jnp.ndarray):
+def _super_merge_impl(buffers: jnp.ndarray, bits: jnp.ndarray,
+                      n_frame: int | None = None):
+    """n_frame: per-frame piece count for batched callers — the geometry
+    must come from ONE frame's count (the vmap rule folds g frames into
+    the piece axis; deriving geometry from g*n could change the branch
+    and the per-frame string count, mis-slicing the batch reshape)."""
     n, w = buffers.shape
-    n2, h, cw, n_strings = span_geometry(n, w)
-    assert n == n2, "caller pads to span_geometry's padded_n"
+    nf = n if n_frame is None else n_frame
+    n2, h, cw, n_strings = span_geometry(nf, w)
+    assert nf == n2, "caller pads to span_geometry's padded_n"
+    assert n % nf == 0
     bpp_w = _merge_budget(w)
-    if h == 512:  # two-stage production shape
-        cw1 = min(128 * w + 1, bpp_w * 128 + 1)  # 128 >= 64: budget binds
-        s1w, s1b, ov1 = _reduce(buffers, bits, 1024, 8, cw1, bpp_w, 1)
-        sw, sb, ov2 = _reduce(s1w, s1b, 32, 8,
-                              min(cw, bpp_w * 512 + 1), bpp_w, 128)
+    k1 = _stage1_k(w)
+    if h == k1 // 2:  # two-stage shape (single-stage h is always <= k1/8)
+        m1 = k1 // 8  # pieces per stage-1 string
+        cw1 = m1 * w + 1
+        if m1 >= 64:
+            cw1 = min(cw1, bpp_w * m1 + 1)  # see _merge_budget
+        s1w, s1b, ov1 = _reduce(buffers, bits, k1, 8, cw1, bpp_w, 1)
+        cwf = min(cw, bpp_w * 4 * m1 + 1) if 4 * m1 >= 64 else cw
+        sw, sb, ov2 = _reduce(s1w, s1b, 32, 8, cwf, bpp_w, m1)
         return sw, sb, ov1 | ov2
     cap = min(cw, bpp_w * h + 1) if h >= 64 else cw
     return _reduce(buffers, bits, h * 8, 8, cap, bpp_w, 1)
@@ -368,7 +402,7 @@ def _super_merge_public():
         g, n, w = buffers.shape
         _, _, _, n_strings = span_geometry(n, w)
         cw_, cb_, ov = _super_merge_impl(
-            buffers.reshape(g * n, w), bits.reshape(g * n)
+            buffers.reshape(g * n, w), bits.reshape(g * n), n_frame=n
         )
         # one span's overflow triggers the caller's whole-batch rerun, so
         # the scalar flag broadcasts over the batch axis

@@ -120,6 +120,92 @@ def _mc_haloed(ref_ext, dy, dx, bs, r):
     return tx.unblockify(motion.mc_fetch(refpad, dy, dx, bs, r))
 
 
+# ---- format v4 half-pel under row sharding (SPEC.md §14; r4 verdict #2) ----
+#
+# The unsharded semantics are parity-planes-THEN-edge-pad
+# (motion.hpel_planes on the full frame, then pad_ref inside mc/sad —
+# ops/dispatch.py:144-212). Exchanging a pixel halo and averaging the
+# extended plane would break that at the global TOP edge: a replicated
+# row pair averages to p[0], but the global parity row that pad_ref
+# replicates is (p[0]+p[1]+1)>>1. (The bottom edge happens to agree
+# because hpel_planes' +1 clamp already makes the last parity row p[-1].)
+# So: one-row pixel halo -> boundary-correct LOCAL parity rows -> halo-
+# exchange the PARITY planes themselves. Byte-equality vs the unsharded
+# v4 encode is asserted in tests/test_parallel.py.
+
+
+def _parity_ext(ref, halo, axis_name, ref_mode):
+    """Halo-extended §14.2 parity planes (H, V, D) of a row shard, exactly
+    equal to slices of pad_ref(hpel_planes(full_frame), halo)."""
+    if ref_mode == "halo":
+        p1 = exchange_halo(ref, 1, axis_name)  # ±1 pixel row for +1 reads
+        hh, vv, dd = motion.hpel_planes(p1)
+        return tuple(
+            exchange_halo(q[1:-1], halo, axis_name) for q in (hh, vv, dd)
+        )
+    # gather variant: global parity planes, then the local+halo slice
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    full = jax.lax.all_gather(ref, axis_name, tiled=True)
+    h = ref.shape[0]
+    out = []
+    for q in motion.hpel_planes(full):
+        padded = jnp.concatenate(
+            [jnp.repeat(q[:1], halo, 0), q, jnp.repeat(q[-1:], halo, 0)], 0
+        )
+        out.append(jax.lax.dynamic_slice_in_dim(padded, idx * h, h + 2 * halo, 0))
+    return tuple(out)
+
+
+def _sad_at_haloed(cur_blocks, ref_ext, iy, ix, r):
+    """Per-MB SAD at per-MB integer mv against a vertically halo-extended
+    plane (columns edge-replicate like pad_ref)."""
+    refpad = jnp.pad(ref_ext, ((0, 0), (spec.SEARCH_R, spec.SEARCH_R)),
+                     mode="edge")
+    pred = motion.mc_fetch(refpad, iy, ix, spec.MB, r)
+    return jnp.abs(cur_blocks - pred).sum(axis=(2, 3))
+
+
+def _hpel_refine_haloed(cur_y, planes_ext, dy, dx):
+    """SPEC.md §14.4 refinement on halo-extended parity planes — the same
+    nine-candidate row-major first-min program as dispatch.hpel_refine."""
+    cur_blocks = tx.blockify(cur_y, spec.MB)
+    r, r2 = spec.SEARCH_R, 2 * spec.SEARCH_R
+    costs, cands_y, cands_x = [], [], []
+    for u in (-1, 0, 1):
+        for v in (-1, 0, 1):
+            d2y, d2x = 2 * dy + u, 2 * dx + v
+            valid = (jnp.abs(d2y) <= r2) & (jnp.abs(d2x) <= r2)
+            iy = jnp.clip(d2y >> 1, -r, r)
+            ix = jnp.clip(d2x >> 1, -r, r)
+            c = _sad_at_haloed(
+                cur_blocks, planes_ext[(abs(u), abs(v))], iy, ix, HALO_Y
+            )
+            costs.append(jnp.where(valid, c, motion.BIG))
+            cands_y.append(d2y)
+            cands_x.append(d2x)
+    cc = jnp.stack(costs)
+    widx = jnp.argmin(cc, axis=0)  # first occurrence == (u, v) row-major
+    d2y = jnp.take_along_axis(jnp.stack(cands_y), widx[None], 0)[0]
+    d2x = jnp.take_along_axis(jnp.stack(cands_x), widx[None], 0)[0]
+    sad = jnp.take_along_axis(cc, widx[None], 0)[0]
+    return d2y, d2x, sad
+
+
+def _hpel_mc_haloed(planes_ext, d2y, d2x, bs, r):
+    """§14.2 half-pel MC from halo-extended parity planes (the sharded twin
+    of dispatch._hpel_mc): integer fetch per parity plane, per-MB select."""
+    iy, ix = d2y >> 1, d2x >> 1
+    sel = (d2y & 1) * 2 + (d2x & 1)
+    sel_px = jnp.repeat(jnp.repeat(sel, bs, 0), bs, 1)
+    f = [_mc_haloed(planes_ext[k], iy, ix, bs, r)
+         for k in ((0, 0), (0, 1), (1, 0), (1, 1))]
+    return jnp.where(
+        sel_px == 0, f[0],
+        jnp.where(sel_px == 1, f[1], jnp.where(sel_px == 2, f[2], f[3])),
+    )
+
+
 def encode_frame_tile_traced(
     cur_y, cur_cb, cur_cr, ref_y, ref_cb, ref_cr, base_qp,
     *, is_p: bool, rc: str, block_words: int, cap_words: int,
@@ -145,13 +231,35 @@ def encode_frame_tile_traced(
         ref_cb_ext = fetch(ref_cb, HALO_C, axis_name)
         ref_cr_ext = fetch(ref_cr, HALO_C, axis_name)
         dy, dx, best_sad = _full_search_haloed(cur_y, ref_y_ext)
+        if fmt >= 4:
+            # v4 (SPEC.md §14): refine to half-pel against halo-extended
+            # parity planes; dy/dx are half-pel units from here on, exactly
+            # like the unsharded predict_p_traced
+            py = _parity_ext(ref_y, HALO_Y, axis_name, ref_mode)
+            planes_y = {(0, 0): ref_y_ext, (0, 1): py[0],
+                        (1, 0): py[1], (1, 1): py[2]}
+            dy, dx, best_sad = _hpel_refine_haloed(cur_y, planes_y, dy, dx)
         is_inter = best_sad <= icost
         m_y = jnp.repeat(jnp.repeat(is_inter, spec.MB, 0), spec.MB, 1)
         m_c = jnp.repeat(jnp.repeat(is_inter, spec.BLK, 0), spec.BLK, 1)
         cdy, cdx = dy >> 1, dx >> 1
-        pred_y = jnp.where(m_y, _mc_haloed(ref_y_ext, dy, dx, spec.MB, HALO_Y), 128)
-        pred_cb = jnp.where(m_c, _mc_haloed(ref_cb_ext, cdy, cdx, spec.BLK, HALO_C), 128)
-        pred_cr = jnp.where(m_c, _mc_haloed(ref_cr_ext, cdy, cdx, spec.BLK, HALO_C), 128)
+        if fmt >= 4:
+            pcb = _parity_ext(ref_cb, HALO_C, axis_name, ref_mode)
+            pcr = _parity_ext(ref_cr, HALO_C, axis_name, ref_mode)
+            planes_cb = {(0, 0): ref_cb_ext, (0, 1): pcb[0],
+                         (1, 0): pcb[1], (1, 1): pcb[2]}
+            planes_cr = {(0, 0): ref_cr_ext, (0, 1): pcr[0],
+                         (1, 0): pcr[1], (1, 1): pcr[2]}
+            pred_y = jnp.where(
+                m_y, _hpel_mc_haloed(planes_y, dy, dx, spec.MB, HALO_Y), 128)
+            pred_cb = jnp.where(
+                m_c, _hpel_mc_haloed(planes_cb, cdy, cdx, spec.BLK, HALO_C), 128)
+            pred_cr = jnp.where(
+                m_c, _hpel_mc_haloed(planes_cr, cdy, cdx, spec.BLK, HALO_C), 128)
+        else:
+            pred_y = jnp.where(m_y, _mc_haloed(ref_y_ext, dy, dx, spec.MB, HALO_Y), 128)
+            pred_cb = jnp.where(m_c, _mc_haloed(ref_cb_ext, cdy, cdx, spec.BLK, HALO_C), 128)
+            pred_cr = jnp.where(m_c, _mc_haloed(ref_cr_ext, cdy, cdx, spec.BLK, HALO_C), 128)
     else:
         dy = jnp.zeros((nby, nbx), jnp.int32)
         dx = jnp.zeros((nby, nbx), jnp.int32)
@@ -485,13 +593,19 @@ def encode_frame_tile2d_traced(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "rc", "block_words", "row_words",
-                     "target_bits", "qbias", "vbv_bits"),
+                     "target_bits", "qbias", "vbv_bits", "fmt"),
 )
 def encode_gop_tiled2d(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, rc, block_words, row_words, target_bits,
-    qbias: int = 8, vbv_bits: int = 0,
+    qbias: int = 8, vbv_bits: int = 0, fmt: int = 1,
 ):
+    if fmt != 1:
+        raise ValueError(
+            f"encode_gop_tiled2d is format v1 only (got fmt={fmt}): v2's "
+            "left-MV/DC prediction crosses 'tc' column-shard boundaries and "
+            "v4's half-pel is not implemented on the 2-D grid; use the 1-D "
+            "row sharding (encode_gop_tiled) for fmt>=2")
     """GOP encode with frames sharded over a 2-D ('tr', 'tc') tile mesh —
     MB rows over 'tr' AND MB columns over 'tc', corner-correct halo
     (SURVEY.md §2.1 TP row; VERDICT r1 missing #4 / next-step #6).
