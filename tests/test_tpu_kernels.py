@@ -246,3 +246,97 @@ def test_v4_gop_stream_on_chip(rng):
                                   0 if t == 0 else 1, 22)
         assert pk[t].payload == res.payload, f"frame {t} bytes differ"
         ref = res.recon
+
+
+def _smooth_clip(rng, w, h, n, slide=3):
+    base = rng.integers(0, 256, (h + 64, w + 64)).astype(np.int32)
+    base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)
+            + np.roll(base, 2, 1)) // 4
+    return [
+        (base[2 * t : 2 * t + h, slide * t : slide * t + w].astype(np.uint8),
+         np.full((h // 2, w // 2), 90 + t, np.uint8),
+         np.full((h // 2, w // 2), 150, np.uint8))
+        for t in range(n)
+    ]
+
+
+@pytest.mark.parametrize("w,h", [(96, 64), (320, 192), (352, 288),
+                                 (416, 240), (640, 360)])
+@pytest.mark.parametrize("qp,fmt", [(27, 1), (28, 1), (27, 4), (28, 4)])
+def test_resolution_grid_on_chip(rng, w, h, qp, fmt):
+    """The production default (emit='chunks') must compile and produce
+    golden bytes at EVERY resolution class — the r4 regression window
+    (~1024-4096 pieces: 320x192/352x288/416x240) OOM'd scoped VMEM
+    through span_geometry's non-idempotent padding while the bench shapes
+    dodged it (r4 verdict weak #1). qp 27/28 cover both block-word
+    budgets (24/16); qp 20 shares qp 27's program (base_qp is traced,
+    block_words is the only static)."""
+    from video_encoder_tpu.codec import golden
+    from video_encoder_tpu.codec.config import EncoderConfig
+    from video_encoder_tpu.codec.golden import Frame
+    from video_encoder_tpu.pipeline.gop_engine import GopEngine
+
+    n = 3
+    frames = _smooth_clip(rng, w, h, n)
+    cfg = EncoderConfig(width=w, height=h, gop_n=n, base_qp=qp,
+                        search="full", format_version=fmt)
+    eng = GopEngine(cfg)
+    assert eng.emit == "chunks"  # the production default is what's tested
+    pk, _ = eng.encode_gop([Frame.from_planes(*f) for f in frames], 0)
+    ref = None
+    for t, f in enumerate(frames):
+        res = golden.encode_frame(cfg, Frame.from_planes(*f), ref,
+                                  0 if t == 0 else 1, qp)
+        assert pk[t].payload == res.payload, f"frame {t} bytes differ"
+        assert pk[t].payload_bits == res.payload_bits
+        ref = res.recon
+
+
+def test_chunks_equals_frame_emit_on_chip(rng):
+    """emit='chunks' (super_merge + host mux) vs emit='frame' (device
+    tree_concat) byte equality ON THE CHIP at a mid-size shape."""
+    from video_encoder_tpu.codec.config import EncoderConfig
+    from video_encoder_tpu.codec.golden import Frame
+    from video_encoder_tpu.pipeline.gop_engine import GopEngine
+
+    w, h, n = 320, 192, 3
+    frames = [Frame.from_planes(*f) for f in _smooth_clip(rng, w, h, n)]
+    cfg = EncoderConfig(width=w, height=h, gop_n=n, base_qp=27,
+                        search="full")
+    eng_c = GopEngine(cfg)
+    eng_f = GopEngine(cfg)
+    eng_f.emit = "frame"
+    pk_c, _ = eng_c.encode_gop(frames, 0)
+    pk_f, _ = eng_f.encode_gop(frames, 0)
+    assert [p.to_bytes() for p in pk_c] == [p.to_bytes() for p in pk_f]
+
+
+def test_full_search_pre_haloed_matches_scan(rng):
+    """The tile path's Pallas ME on a pre-haloed reference (r4 verdict
+    weak #4) vs the jnp scan twin, both on a shard-shaped slice with a
+    real neighbor halo and on a boundary shard (edge-replicated halo)."""
+    from video_encoder_tpu.ops import dispatch
+    from video_encoder_tpu.parallel import tiles
+
+    h_full, w = 256, 208
+    full = rng.integers(0, 256, (h_full, w)).astype(np.int32)
+    cur_full = np.clip(np.roll(full, (3, -5), (0, 1))
+                       + rng.integers(-4, 5, (h_full, w)), 0, 255)
+    hs = 128  # shard height
+    for start in (0, hs):  # boundary (top) and interior/bottom shards
+        cur = jnp.asarray(cur_full[start:start + hs])
+        top = np.repeat(full[:1], 16, 0) if start == 0 else full[start - 16:start]
+        bot = (np.repeat(full[-1:], 16, 0) if start + hs == h_full
+               else full[start + hs:start + hs + 16])
+        ref_ext = jnp.asarray(np.concatenate([top, full[start:start + hs], bot], 0))
+        from video_encoder_tpu.ops.pallas import sad as psad
+
+        kdy, kdx, ksad = jax.jit(psad.full_search_pre_haloed)(cur, ref_ext)
+        dispatch.force("jnp")
+        try:
+            sdy, sdx, ssad = jax.jit(tiles._full_search_haloed)(cur, ref_ext)
+        finally:
+            dispatch.force(None)
+        assert np.array_equal(np.asarray(kdy), np.asarray(sdy))
+        assert np.array_equal(np.asarray(kdx), np.asarray(sdx))
+        assert np.array_equal(np.asarray(ksad), np.asarray(ssad))

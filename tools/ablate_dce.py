@@ -33,6 +33,7 @@ H = int(os.environ.get("ABLATE_H", 1080))
 W = int(os.environ.get("ABLATE_W", 1920))
 T = int(os.environ.get("ABLATE_T", 8))
 REPS = int(os.environ.get("ABLATE_REPS", 5))
+EMIT = os.environ.get("ABLATE_EMIT", "chunks")  # r5: production default
 
 
 def timed(jitted, yd, cbd, crd, kw):
@@ -67,6 +68,7 @@ def main():
         search="full", rc="none",
         block_words=gop_engine._block_words_for_qp(30),
         cap_words=entropy.capacity_words(n_mbs, 1024), target_bits=0,
+        emit=EMIT,
     )
     cap = kw["cap_words"]
     y, cb, cr = synth_clip(T, hp, W)
@@ -74,9 +76,11 @@ def main():
 
     fn = gop_engine.encode_gop_jit.__wrapped__
     static = ("search", "rc", "block_words", "cap_words", "target_bits",
-              "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "unroll", "islice")
+              "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "unroll", "islice",
+              "emit")
 
     real = dict(
+        packc=entropy.pack_frame_chunks,
         pack=entropy.pack_frame_planes,
         full=dispatch.full_search,
         mc_l=dispatch.mc_fetch_luma_plane,
@@ -90,6 +94,15 @@ def main():
     def drop_pack(lz_y, lz_cb, lz_cr, qpd, is_p, is_inter, dy, dx, bw, capw):
         nby, nbx = qpd.shape
         return (jnp.zeros((capw,), jnp.uint32), jnp.int32(1024),
+                jnp.zeros((nby, nbx), jnp.int32), jnp.asarray(False))
+
+    bw_ = kw["block_words"]
+
+    def drop_pack_chunks(lz_y, lz_cb, lz_cr, qpd, is_p, is_inter, dy, dx, bwv):
+        nby, nbx = qpd.shape
+        nc, h_, cw_ = entropy.chunk_capacity(nby * nbx * 8, bwv)
+        return (jnp.zeros((nc, cw_), jnp.uint32),
+                jnp.full((nc,), 32, jnp.int32),
                 jnp.zeros((nby, nbx), jnp.int32), jnp.asarray(False))
 
     def drop_full(cur, ref):
@@ -115,15 +128,15 @@ def main():
 
     variants = [
         ("full-program", {}),
-        ("drop-entropy-pack", dict(pack=drop_pack)),
+        ("drop-entropy-pack", dict(pack=drop_pack, packc=drop_pack_chunks)),
         ("drop-me", dict(full=drop_full)),
         ("drop-mc", dict(mc_l=drop_mc, mc_c=drop_mc)),
         ("drop-transform", dict(code=drop_code)),
         ("drop-intra-cost", dict(intra=drop_intra)),
         ("drop-sse", dict(sse=drop_sse)),
         # compound: only ME+MC+recon-code survive (the P-chain minimum)
-        ("drop-pack+sse+intra", dict(pack=drop_pack, sse=drop_sse,
-                                     intra=drop_intra)),
+        ("drop-pack+sse+intra", dict(pack=drop_pack, packc=drop_pack_chunks,
+                                     sse=drop_sse, intra=drop_intra)),
     ]
 
     results = {"_meta": dict(
@@ -136,8 +149,7 @@ def main():
     base_ms = None
     for name, patches in variants:
         entropy.pack_frame_planes = patches.get("pack", real["pack"])
-        entropy.pack_frame_planes_v2 = patches.get("pack", real["pack"]) \
-            if "pack" in patches else entropy.pack_frame_planes_v2
+        entropy.pack_frame_chunks = patches.get("packc", real["packc"])
         dispatch.full_search = patches.get("full", real["full"])
         dispatch.mc_fetch_luma_plane = patches.get("mc_l", real["mc_l"])
         dispatch.mc_fetch_chroma_plane = patches.get("mc_c", real["mc_c"])
@@ -149,6 +161,7 @@ def main():
             ms = timed(jitted, yd, cbd, crd, kw)
         finally:
             entropy.pack_frame_planes = real["pack"]
+            entropy.pack_frame_chunks = real["packc"]
             dispatch.full_search = real["full"]
             dispatch.mc_fetch_luma_plane = real["mc_l"]
             dispatch.mc_fetch_chroma_plane = real["mc_c"]

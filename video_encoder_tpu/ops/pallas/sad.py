@@ -34,6 +34,15 @@ MB = spec.MB               # 16
 ND = 2 * R + 1             # 33 shifts per axis
 
 
+# Loop-order A/B hook (tools/exp_fs_order.py). dx_outer replaces the 1089
+# lane-unaligned slices with 33 dynamic lane rolls + 264 sublane rolls —
+# measured SLOWER (r5: 6.84 vs 6.61 ms @1080p, 18.87 vs 17.74 @4K,
+# mv_equal both): the per-dy reduction matmul's structural cost (one-hot
+# K-density 16/TW at 4 MXUs) dominates, not the slice shuffles. Kept as
+# the documented negative so it stays tried-once.
+_FS_ORDER = "dy_outer"
+
+
 def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
                              stride: int = 1, batched: bool = False):
     """Full-search kernel for a TM x TN-MB tile (TH x TW px).
@@ -88,11 +97,13 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
         # row-rotated copies so any visited dy slice becomes sublane-aligned:
         # rots[r/stride][q*8 : q*8+TH] == win[q*8+r : q*8+r+TH] for dy = 8q+r
         # (dy is always a stride multiple, so only those remainders occur).
-        w0 = win[:]
-        for r in range(0, 8, stride):
-            rots[r // stride] = pltpu.roll(w0, (WH - r) % WH, 0).astype(
-                jnp.bfloat16
-            )
+        # The dx_outer order builds these per dx instead (post-lane-roll).
+        if emit_map or _FS_ORDER != "dx_outer":
+            w0 = win[:]
+            for r in range(0, 8, stride):
+                rots[r // stride] = pltpu.roll(w0, (WH - r) % WH, 0).astype(
+                    jnp.bfloat16
+                )
 
         # col-block reduction matrix [TW, TN] (0/1, exact in bf16)
         colb = jax.lax.broadcasted_iota(jnp.int32, (TW, TN), 0) // MB
@@ -133,6 +144,51 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
                 return carry
 
             jax.lax.fori_loop(0, NDS, map_body, jnp.int32(0))
+            return
+
+        if _FS_ORDER == "dx_outer":
+            # r5 loop order: dx OUTER (one dynamic lane-roll of the whole
+            # window per dx — WWA is 128-aligned, and dx <= 32 <= WWA-TW so
+            # no circular wrap reaches lanes [0, TW)), dy INNER via
+            # sublane-ALIGNED slices of 8 sublane-rotated copies. This
+            # replaces the r4 structure's 1089 lane-UNaligned slices (the
+            # measured cost centre: 'the slice+sub+abs work itself',
+            # r4 A/B note above) with 33 lane rolls + 264 sublane rolls;
+            # the packed-key min is order-independent, so mvs/sads are
+            # bit-identical. Reuses the rots scratch for the per-dx
+            # sublane rotations.
+            def body_x(dx, best):
+                # rolls run on int32 (mosaic: 'Rotate with non-32-bit
+                # data' is NYI); the bf16 convert rides the rots store
+                strip = pltpu.roll(win[:], jax.lax.rem(WWA - dx, WWA), 1)
+                for r in range(8):
+                    rots[r] = pltpu.roll(
+                        strip, (WH - r) % WH, 0).astype(jnp.bfloat16)
+                for dy in range(ND):
+                    cand = jax.lax.slice(
+                        rots[dy % 8], (dy - dy % 8, 0),
+                        (dy - dy % 8 + TH, TW))
+                    diff[dy] = jnp.abs(cur - cand)
+                d2 = diff[:].reshape(ND * TH, TW)
+                colsum = jax.lax.dot_general(
+                    d2, right, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sad = jnp.sum(colsum.reshape(ND, TM, MB, TN), axis=2)
+                k = dx + ND * jax.lax.broadcasted_iota(
+                    jnp.int32, (ND, TM, TN), 0)
+                key = sad.astype(jnp.int32) * 2048 + k
+                return jnp.minimum(best, jnp.min(key, axis=0))
+
+            best = jax.lax.fori_loop(
+                0, ND, body_x, jnp.full((TM, TN), jnp.int32(2**31 - 1))
+            )
+            if batched:
+                sad_ref[0, 0, 0] = best >> 11
+                idx_ref[0, 0, 0] = best & 2047
+            else:
+                sad_ref[0, 0] = best >> 11
+                idx_ref[0, 0] = best & 2047
             return
 
         def body(dy, best):
@@ -287,6 +343,38 @@ def _full_search_batch_impl(cur_g: jnp.ndarray, ref_g: jnp.ndarray):
     dy = idx // ND - R
     dx = idx % ND - R
     return dy, dx, sad
+
+
+def full_search_pre_haloed(cur_y: jnp.ndarray, ref_ext: jnp.ndarray):
+    """Full search where ref_ext already carries the vertical ±R halo rows
+    (shape [h+2R, w]; or [h+2R, w+2R] with the horizontal halo too) — the
+    tile-sharded path's reference after exchange_halo (parallel/tiles.py).
+
+    Bit-exact twin of tiles' jnp scan: the kernel and its padding are the
+    unsharded full_search's (the pre-haloed rows simply REPLACE pad_ref's
+    vertical edge replication; rows/cols beyond the halo are only read for
+    grid-padding MBs whose outputs are cropped)."""
+    h, w = cur_y.shape
+    nby, nbx = h // MB, w // MB
+    call, TM, TN, gy, gx, WH, WW, WWA = _full_search_call(nby, nbx)
+    hp, wp = gy * MB, gx * MB
+    cur_p = jnp.pad(cur_y, ((0, hp - h), (0, wp - w)))
+    ref_r = jnp.pad(ref_ext, ((0, hp - h), (0, 0)), mode="edge")
+    if ref_ext.shape[1] == w:  # 1-D row sharding: columns edge-replicate
+        ref_c = jnp.pad(ref_r, ((0, 0), (0, wp - w)), mode="edge")
+        refpad = jnp.pad(ref_c, ((0, 0), (R, R + (WWA - WW))), mode="edge")
+    else:  # horizontal halo present: [-R, w+R) columns are real
+        refpad = jnp.pad(
+            ref_r, ((0, 0), (0, (wp - w) + (WWA - WW))), mode="edge")
+    sad, idx = call(cur_p, refpad)
+
+    def from_tiles(a):
+        g1, g2 = a.shape[:2]
+        return a.transpose(0, 2, 1, 3).reshape(g1 * TM, g2 * TN)
+
+    sad = from_tiles(sad)[:nby, :nbx]
+    idx = from_tiles(idx)[:nby, :nbx]
+    return idx // ND - R, idx % ND - R, sad
 
 
 @jax.custom_batching.custom_vmap
