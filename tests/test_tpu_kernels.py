@@ -340,3 +340,51 @@ def test_full_search_pre_haloed_matches_scan(rng):
         assert np.array_equal(np.asarray(kdy), np.asarray(sdy))
         assert np.array_equal(np.asarray(kdx), np.asarray(sdx))
         assert np.array_equal(np.asarray(ksad), np.asarray(ssad))
+
+
+def test_full_search_sea_matches_exhaustive(rng):
+    """SEA-pruned full search (TVC_SEA=1, r5) is bit-identical to the
+    exhaustive kernel AND the jnp twin — on prunable panning content, on
+    i.i.d. random content (zero pruning, the bound-overhead worst case),
+    and under the G-batched vmap rule. The stats variant must agree too."""
+    from video_encoder_tpu.ops.pallas import sad as psad
+
+    h, w = 144, 208
+    smooth = rng.integers(0, 256, (h + 16, w + 16)).astype(np.int32)
+    for _ in range(2):
+        smooth = (smooth + np.roll(smooth, 1, 0) + np.roll(smooth, 1, 1)) // 3
+    cases = [
+        (jnp.asarray(smooth[2:2 + h, 3:3 + w]), jnp.asarray(smooth[:h, :w])),
+        (jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32),
+         jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)),
+    ]
+    prev = os.environ.get("TVC_SEA")
+    try:
+        for cur, ref in cases:
+            want = motion.full_search(cur, ref)
+            os.environ["TVC_SEA"] = "1"
+            got = psad.full_search(cur, ref)
+            sdy, sdx, ssad, cnt = psad.full_search_sea_stats(cur, ref)
+            os.environ["TVC_SEA"] = "0"
+            for a, b in zip(want, got):
+                assert np.array_equal(np.asarray(a), np.asarray(b))
+            assert np.array_equal(np.asarray(want[0]), np.asarray(sdy))
+            assert np.array_equal(np.asarray(want[1]), np.asarray(sdx))
+            assert np.array_equal(np.asarray(want[2]), np.asarray(ssad))
+            assert int(np.asarray(cnt).max()) <= 33
+        # G-batched twin under vmap (the batched-GOP scan route)
+        cg = jnp.stack([c for c, _ in cases])
+        rg = jnp.stack([r for _, r in cases])
+        os.environ["TVC_SEA"] = "1"
+        bdy, bdx, bsad = jax.vmap(psad.full_search)(cg, rg)
+        os.environ["TVC_SEA"] = "0"
+        for g, (cur, ref) in enumerate(cases):
+            want = motion.full_search(cur, ref)
+            assert np.array_equal(np.asarray(want[0]), np.asarray(bdy[g]))
+            assert np.array_equal(np.asarray(want[1]), np.asarray(bdx[g]))
+            assert np.array_equal(np.asarray(want[2]), np.asarray(bsad[g]))
+    finally:
+        if prev is None:
+            os.environ.pop("TVC_SEA", None)
+        else:
+            os.environ["TVC_SEA"] = prev

@@ -21,6 +21,7 @@ dispatch picks pallas on TPU backends (ops/dispatch.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,25 @@ MB = spec.MB               # 16
 ND = 2 * R + 1             # 33 shifts per axis
 
 
+def _sea_enabled() -> bool:
+    """Successive-elimination pruning for the full search (opt-in:
+    TVC_SEA=1).
+
+    Both variants produce identical (dy, dx, sad): SEA only skips dy rows
+    whose exact column-sum lower bound already exceeds the best SAD found,
+    so the packed-key minimum (and the spec's first-occurrence tie-break)
+    is unchanged. Default OFF after measurement (tools/exp_sea_results.json,
+    r5): on clean panning refs it prunes 60-70% of rows (1.68x standalone at
+    4K), but the ENGINE searches against the previous RECON, whose qp~30
+    quantization noise puts a ~256*E|err| floor under the best SAD while the
+    column-sum bound cancels that noise — measured zero pruning at ref noise
+    ±8, so in-engine SEA costs its ~16% bound overhead for nothing. The
+    exact-prune family (SEA/MSEA) is structurally unable to help at
+    production qp; kept as the documented negative and for clean-ref/low-qp
+    use."""
+    return os.environ.get("TVC_SEA", "0") == "1"
+
+
 # Loop-order A/B hook (tools/exp_fs_order.py). dx_outer replaces the 1089
 # lane-unaligned slices with 33 dynamic lane rolls + 264 sublane rolls —
 # measured SLOWER (r5: 6.84 vs 6.61 ms @1080p, 18.87 vs 17.74 @4K,
@@ -44,7 +64,8 @@ _FS_ORDER = "dy_outer"
 
 
 def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
-                             stride: int = 1, batched: bool = False):
+                             stride: int = 1, batched: bool = False,
+                             sea: bool = False, sea_stats: bool = False):
     """Full-search kernel for a TM x TN-MB tile (TH x TW px).
 
     emit_map=True writes the SAD volume per tile (candidate
@@ -81,6 +102,13 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
         """
         if emit_map:
             sad_ref, win, rots, diff, sem = refs
+        elif sea:
+            if sea_stats:
+                (sad_ref, idx_ref, cnt_ref, win, rots, diff,
+                 winc, bd, best_ref, sem) = refs
+            else:
+                (sad_ref, idx_ref, win, rots, diff,
+                 winc, bd, best_ref, sem) = refs
         else:
             sad_ref, idx_ref, win, rots, diff, sem = refs
         if batched:
@@ -191,6 +219,105 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
                 idx_ref[0, 0] = best & 2047
             return
 
+        if sea:
+            # Successive elimination (Li & Salari 1995, column-sum form):
+            # SAD(dy,dx) >= LB(dy,dx) = sum_c |sum_r cur - sum_r cand| by the
+            # triangle inequality, and LB costs 1/16 of the exact row. Rows
+            # are visited centre-out (motion statistics concentrate near 0,
+            # so the running best tightens fast); a row runs exactly only if
+            # some MB's row-min bound is <= its best SAD so far. Pruned
+            # candidates satisfy SAD >= LB > best >= final min STRICTLY, so
+            # the packed-key minimum — ties included — is untouched: both
+            # kernels return bit-identical (dy, dx, sad).
+            # All bound arithmetic is f32 on values <= 65280: exact.
+            def up(x, k):
+                return pltpu.roll(x, (WH - k) % WH, 0)
+
+            # winc[y] = sum_{r<16} win[y+r] (cols), valid for y <= WH-16;
+            # rows y in [TH+16, WH) wrap circularly and are never read
+            # (max needed row is (TM-1)*16 + dymax = TH + 16).
+            s = win[:].astype(jnp.float32)
+            s = s + up(s, 1)
+            s = s + up(s, 2)
+            s = s + up(s, 4)
+            s = s + up(s, 8)
+            winc[:] = s
+
+            # curCrows[m] = 16-row column sums of MB row m of cur
+            r16 = (
+                jax.lax.broadcasted_iota(jnp.int32, (TM, TH), 1) // MB
+                == jax.lax.broadcasted_iota(jnp.int32, (TM, TH), 0)
+            ).astype(jnp.float32)
+            curc = jax.lax.dot_general(
+                r16, cur.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [TM, TW] f32, exact (<= 4080)
+            rightf = right.astype(jnp.float32)
+
+            best_ref[:] = jnp.full((TM, TN), jnp.int32(2**31 - 1))
+            if sea_stats:
+                if batched:
+                    cnt_ref[0, 0, 0] = jnp.zeros((1, 1), jnp.int32)
+                else:
+                    cnt_ref[0, 0] = jnp.zeros((1, 1), jnp.int32)
+
+            def sea_body(sstep, carry):
+                # centre-out visit order: R, R-1, R+1, R-2, R+2, ...
+                half = (sstep + 1) >> 1
+                sign = 1 - 2 * (sstep & 1)
+                dy = R + half * sign
+
+                # row lower bounds: sCrows[m] = winc row m*16+dy
+                sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (TM, WH), 1)
+                    == jax.lax.broadcasted_iota(jnp.int32, (TM, WH), 0) * MB
+                    + dy
+                ).astype(jnp.float32)
+                scrows = jax.lax.dot_general(
+                    sel, winc[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [TM, WWA]
+                for di in range(ND):
+                    bd[di] = jnp.abs(
+                        curc - jax.lax.slice(scrows, (0, di), (TM, di + TW))
+                    )
+                lb = jax.lax.dot_general(  # [ND*TM, TN] f32, exact
+                    bd[:].reshape(ND * TM, TW), rightf,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                rowmin = jnp.min(lb.reshape(ND, TM, TN), axis=0)
+                bestsad = (best_ref[:] >> 11).astype(jnp.float32)
+                need = jnp.any(rowmin <= bestsad)
+
+                @pl.when(need)
+                def _():
+                    sad = row_sads(dy)
+                    k = dy * ND + jax.lax.broadcasted_iota(
+                        jnp.int32, (ND, TM, TN), 0
+                    )
+                    key = sad.astype(jnp.int32) * 2048 + k
+                    best_ref[:] = jnp.minimum(
+                        best_ref[:], jnp.min(key, axis=0)
+                    )
+                    if sea_stats:
+                        if batched:
+                            cnt_ref[0, 0, 0] = cnt_ref[0, 0, 0] + 1
+                        else:
+                            cnt_ref[0, 0] = cnt_ref[0, 0] + 1
+
+                return carry
+
+            jax.lax.fori_loop(0, ND, sea_body, jnp.int32(0))
+            best = best_ref[:]
+            if batched:
+                sad_ref[0, 0, 0] = best >> 11
+                idx_ref[0, 0, 0] = best & 2047
+            else:
+                sad_ref[0, 0] = best >> 11
+                idx_ref[0, 0] = best & 2047
+            return
+
         def body(dy, best):
             sad = row_sads(dy)
             k = dy * ND + jax.lax.broadcasted_iota(jnp.int32, (ND, TM, TN), 0)
@@ -218,16 +345,44 @@ def _fs_tile_shape(nby: int, nbx: int) -> tuple[int, int]:
     return tm, tn
 
 
-@functools.lru_cache(maxsize=8)
-def _full_search_call(nby: int, nbx: int):
+def _sea_scratch(sea, TM, TH, TW, WH, WWA):
+    """Extra VMEM scratch for the SEA variant: the sliding column-sum field,
+    the bound-diff block, and the running best key (~1 MB at TN=32)."""
+    if not sea:
+        return []
+    return [
+        pltpu.VMEM((WH, WWA), jnp.float32),       # winc
+        pltpu.VMEM((ND, TM, TW), jnp.float32),    # bd
+        pltpu.VMEM((TM, TW // MB), jnp.int32),    # best_ref [TM, TN]
+    ]
+
+
+@functools.lru_cache(maxsize=16)
+def _full_search_call(nby: int, nbx: int, sea: bool = False,
+                      sea_stats: bool = False):
     TM, TN = _fs_tile_shape(nby, nbx)
-    kernel, TH, TW, WH, WW, WWA = _make_full_search_kernel(TM, TN)
+    kernel, TH, TW, WH, WW, WWA = _make_full_search_kernel(
+        TM, TN, sea=sea, sea_stats=sea_stats
+    )
     gy = -(-nby // TM) * TM
     gx = -(-nbx // TN) * TN
 
     def mb_spec():
         return pl.BlockSpec(
             (1, 1, TM, TN), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    out_specs = [mb_spec(), mb_spec()]
+    out_shape = [
+        jax.ShapeDtypeStruct((gy // TM, gx // TN, TM, TN), jnp.int32),
+        jax.ShapeDtypeStruct((gy // TM, gx // TN, TM, TN), jnp.int32),
+    ]
+    if sea_stats:
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 1, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ))
+        out_shape.append(
+            jax.ShapeDtypeStruct((gy // TM, gx // TN, 1, 1), jnp.int32)
         )
 
     def call(cur_p, refpad):
@@ -238,15 +393,13 @@ def _full_search_call(nby: int, nbx: int):
                 pl.BlockSpec(memory_space=pl.ANY),  # refpad stays in HBM
                 pl.BlockSpec((TH, TW), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             ],
-            out_specs=[mb_spec(), mb_spec()],
-            out_shape=[
-                jax.ShapeDtypeStruct((gy // TM, gx // TN, TM, TN), jnp.int32),
-                jax.ShapeDtypeStruct((gy // TM, gx // TN, TM, TN), jnp.int32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((WH, WWA), jnp.int32),
                 pltpu.VMEM((8, WH, WWA), jnp.bfloat16),
                 pltpu.VMEM((ND, TH, TW), jnp.bfloat16),
+            ] + _sea_scratch(sea, TM, TH, TW, WH, WWA) + [
                 pltpu.SemaphoreType.DMA,
             ],
         )(refpad, cur_p)
@@ -254,13 +407,15 @@ def _full_search_call(nby: int, nbx: int):
     return call, TM, TN, gy, gx, WH, WW, WWA
 
 
-@functools.lru_cache(maxsize=8)
-def _full_search_call_batch(gn: int, nby: int, nbx: int):
+@functools.lru_cache(maxsize=16)
+def _full_search_call_batch(gn: int, nby: int, nbx: int, sea: bool = False):
     """G-batched twin of _full_search_call: grid (G, gy, gx), operands carry
     a leading G axis (the refpad stays whole in HBM; the kernel DMAs
     refpad[g]'s window per step)."""
     TM, TN = _fs_tile_shape(nby, nbx)
-    kernel, TH, TW, WH, WW, WWA = _make_full_search_kernel(TM, TN, batched=True)
+    kernel, TH, TW, WH, WW, WWA = _make_full_search_kernel(
+        TM, TN, batched=True, sea=sea
+    )
     gy = -(-nby // TM) * TM
     gx = -(-nbx // TN) * TN
 
@@ -288,6 +443,7 @@ def _full_search_call_batch(gn: int, nby: int, nbx: int):
                 pltpu.VMEM((WH, WWA), jnp.int32),
                 pltpu.VMEM((8, WH, WWA), jnp.bfloat16),
                 pltpu.VMEM((ND, TH, TW), jnp.bfloat16),
+            ] + _sea_scratch(sea, TM, TH, TW, WH, WWA) + [
                 pltpu.SemaphoreType.DMA,
             ],
         )(refpad, cur_p)
@@ -297,22 +453,34 @@ def _full_search_call_batch(gn: int, nby: int, nbx: int):
 
 def _fs_pads(cur, ref, gy, gx, WH, WW, WWA):
     """Shared tile/halo padding; works on [H, W] or [G, H, W] (leading axes
-    untouched by the trailing-dim pads)."""
+    untouched by the trailing-dim pads).
+
+    Grid-padding MBs of cur take the co-located (edge-replicated) REF
+    values, not zeros: their outputs are cropped either way, but with
+    cur==ref there the mv-(0,0) probe scores SAD 0 and the SEA bound prunes
+    every other row — zero-padded MBs see constant-column SADs whose ties
+    (LB == best) forced edge tiles to evaluate all 33 rows."""
     h, w = cur.shape[-2:]
     hp, wp = gy * MB, gx * MB
     lead = ((0, 0),) * (cur.ndim - 2)
-    cur_p = jnp.pad(cur, lead + ((0, hp - h), (0, wp - w)))
     ref_p = jnp.pad(ref, lead + ((0, hp - h), (0, wp - w)), mode="edge")
+    cur_p = jax.lax.dynamic_update_slice(
+        ref_p, cur.astype(ref_p.dtype), (0,) * cur.ndim
+    )
     refpad = jnp.pad(ref_p, lead + ((R, R), (R, R + (WWA - WW))), mode="edge")
     return cur_p, refpad
 
 
-def _full_search_impl(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+def _full_search_impl(cur_y: jnp.ndarray, ref_y: jnp.ndarray,
+                      stats: bool = False):
     h, w = cur_y.shape
     nby, nbx = h // MB, w // MB
-    call, TM, TN, gy, gx, WH, WW, WWA = _full_search_call(nby, nbx)
+    call, TM, TN, gy, gx, WH, WW, WWA = _full_search_call(
+        nby, nbx, _sea_enabled() or stats, stats
+    )
     cur_p, refpad = _fs_pads(cur_y, ref_y, gy, gx, WH, WW, WWA)
-    sad, idx = call(cur_p, refpad)
+    outs = call(cur_p, refpad)
+    sad, idx = outs[0], outs[1]
 
     def from_tiles(a):
         g1, g2 = a.shape[:2]
@@ -322,7 +490,16 @@ def _full_search_impl(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
     idx = from_tiles(idx)[:nby, :nbx]
     dy = idx // ND - R
     dx = idx % ND - R
+    if stats:
+        return dy, dx, sad, outs[2][:, :, 0, 0]
     return dy, dx, sad
+
+
+def full_search_sea_stats(cur_y: jnp.ndarray, ref_y: jnp.ndarray):
+    """SEA full search that also returns the per-tile count of dy rows
+    evaluated exactly (of ND=33) — the pruning-rate instrumentation for
+    tools/exp_sea.py. (dy, dx, sad) are bit-identical to full_search."""
+    return _full_search_impl(cur_y, ref_y, stats=True)
 
 
 def _full_search_batch_impl(cur_g: jnp.ndarray, ref_g: jnp.ndarray):
@@ -330,7 +507,9 @@ def _full_search_batch_impl(cur_g: jnp.ndarray, ref_g: jnp.ndarray):
     loop of _full_search_impl (tests/test_tpu_kernels.py)."""
     gn, h, w = cur_g.shape
     nby, nbx = h // MB, w // MB
-    call, TM, TN, gy, gx, WH, WW, WWA = _full_search_call_batch(gn, nby, nbx)
+    call, TM, TN, gy, gx, WH, WW, WWA = _full_search_call_batch(
+        gn, nby, nbx, _sea_enabled()
+    )
     cur_p, refpad = _fs_pads(cur_g, ref_g, gy, gx, WH, WW, WWA)
     sad, idx = call(cur_p, refpad)
 
@@ -356,9 +535,10 @@ def full_search_pre_haloed(cur_y: jnp.ndarray, ref_ext: jnp.ndarray):
     grid-padding MBs whose outputs are cropped)."""
     h, w = cur_y.shape
     nby, nbx = h // MB, w // MB
-    call, TM, TN, gy, gx, WH, WW, WWA = _full_search_call(nby, nbx)
+    call, TM, TN, gy, gx, WH, WW, WWA = _full_search_call(
+        nby, nbx, _sea_enabled()
+    )
     hp, wp = gy * MB, gx * MB
-    cur_p = jnp.pad(cur_y, ((0, hp - h), (0, wp - w)))
     ref_r = jnp.pad(ref_ext, ((0, hp - h), (0, 0)), mode="edge")
     if ref_ext.shape[1] == w:  # 1-D row sharding: columns edge-replicate
         ref_c = jnp.pad(ref_r, ((0, 0), (0, wp - w)), mode="edge")
@@ -366,6 +546,11 @@ def full_search_pre_haloed(cur_y: jnp.ndarray, ref_ext: jnp.ndarray):
     else:  # horizontal halo present: [-R, w+R) columns are real
         refpad = jnp.pad(
             ref_r, ((0, 0), (0, (wp - w) + (WWA - WW))), mode="edge")
+    # grid-padding MBs of cur mirror the co-located ref (see _fs_pads)
+    cur_p = jax.lax.dynamic_update_slice(
+        jax.lax.dynamic_slice(refpad, (R, R), (hp, wp)),
+        cur_y.astype(refpad.dtype), (0, 0),
+    )
     sad, idx = call(cur_p, refpad)
 
     def from_tiles(a):
