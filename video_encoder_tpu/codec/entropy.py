@@ -203,8 +203,12 @@ def block_symbols(levels_zz: jnp.ndarray):
     return values, lengths.astype(jnp.int32)
 
 
-def header_symbols(qp_delta, is_p_frame, is_inter, dy, dx):
-    """Per-MB header symbols [nby, nbx, 4]: mode, se(dx), se(dy), se(qpd)."""
+def _header_slots(qp_delta, is_p_frame, is_inter, dy, dx):
+    """Per-MB header symbols with the slot axis LEADING: ([4, nby, nbx]
+    uint32 values, [4, nby, nbx] int32 lengths) — mode, se(dx), se(dy),
+    se(qpd). Slot-leading so pack_header can keep the (large) MB axes on
+    the vector lanes; the slot-trailing [.., 4] layout put 4 elements on
+    the 128-lane dim and measured 1.5 ms/frame at 4K through pack_dense."""
     p = jnp.asarray(is_p_frame, jnp.bool_)
     mode_val, mode_len = ue_code(jnp.where(is_inter, 0, 1))
     mode_len = jnp.where(p, mode_len, 0)
@@ -214,9 +218,45 @@ def header_symbols(qp_delta, is_p_frame, is_inter, dy, dx):
     dx_len = jnp.where(inter_p, dx_len, 0)
     dy_len = jnp.where(inter_p, dy_len, 0)
     qpd_val, qpd_len = se_code(qp_delta)
-    values = jnp.stack([mode_val, dx_val, dy_val, qpd_val], axis=-1)
-    lengths = jnp.stack([mode_len, dx_len, dy_len, qpd_len], axis=-1)
+    values = jnp.stack([mode_val, dx_val, dy_val, qpd_val], axis=0)
+    lengths = jnp.stack([mode_len, dx_len, dy_len, qpd_len], axis=0)
     return jnp.where(lengths > 0, values.astype(jnp.uint32), 0), lengths
+
+
+def header_symbols(qp_delta, is_p_frame, is_inter, dy, dx):
+    """Per-MB header symbols [nby, nbx, 4]: mode, se(dx), se(dy), se(qpd)."""
+    values, lengths = _header_slots(qp_delta, is_p_frame, is_inter, dy, dx)
+    return jnp.moveaxis(values, 0, -1), jnp.moveaxis(lengths, 0, -1)
+
+
+def pack_header(values, lengths, n_words: int = HEADER_WORDS):
+    """pack_dense twin for slot-LEADING header symbols ([S, ...] from
+    _header_slots/_header_slots_v2): identical bit placement (same slot
+    order, same carry split), but every elementwise op runs on the [...]
+    MB grid with full lane occupancy. Returns (words [..., W] uint32,
+    bits [...] int32, overflow)."""
+    off = jnp.cumsum(lengths, axis=0) - lengths
+    bits = off[-1] + lengths[-1]
+    overflow = (bits > 32 * n_words).any()
+
+    sh = (off & 31).astype(jnp.int32)
+    fits = (sh + lengths) <= 32
+    sh1 = jnp.clip(jnp.where(fits, 32 - sh - lengths, lengths - (32 - sh)), 0, 31)
+    c1 = jnp.where(fits, values << sh1.astype(jnp.uint32),
+                   values >> sh1.astype(jnp.uint32))
+    sh2 = jnp.clip(64 - sh - lengths, 0, 31)
+    c2 = jnp.where(fits, jnp.uint32(0), values << sh2.astype(jnp.uint32))
+    live = lengths > 0
+    c1 = jnp.where(live, c1, 0)
+    c2 = jnp.where(live & ~fits, c2, 0)
+
+    w1 = (off >> 5).astype(jnp.int32)
+    words = [
+        (jnp.where(w1 == w, c1, 0).sum(axis=0, dtype=jnp.uint32)
+         + jnp.where(w1 + 1 == w, c2, 0).sum(axis=0, dtype=jnp.uint32))
+        for w in range(n_words)
+    ]
+    return jnp.stack(words, axis=-1), bits.astype(jnp.int32), overflow
 
 
 def pack_dense(values: jnp.ndarray, lengths: jnp.ndarray, n_words: int):
@@ -297,10 +337,11 @@ def pack_frame_blocked(
     return words, total_bits, mb_bits.reshape(nby, nbx), ovf_h | ovf_b | ovf_f
 
 
-def header_symbols_v2(qp_delta, is_p_frame, is_inter, dy, dx):
-    """v2 per-MB header symbols (SPEC.md §12.3): mv codes as se(mv − pred)
-    with pred = the left MB's mv when both MBs are inter, else (0,0).
-    Left-only prediction keeps MB rows independent (tile-shard safe)."""
+def _header_slots_v2(qp_delta, is_p_frame, is_inter, dy, dx):
+    """v2 per-MB header symbols, slot axis LEADING (see _header_slots):
+    mv codes as se(mv − pred) with pred = the left MB's mv when both MBs
+    are inter, else (0,0). Left-only prediction keeps MB rows independent
+    (tile-shard safe). SPEC.md §12.3."""
     p = jnp.asarray(is_p_frame, jnp.bool_)
     mode_val, mode_len = ue_code(jnp.where(is_inter, 0, 1))
     mode_len = jnp.where(p, mode_len, 0)
@@ -316,9 +357,15 @@ def header_symbols_v2(qp_delta, is_p_frame, is_inter, dy, dx):
     dx_len = jnp.where(inter_p, dx_len, 0)
     dy_len = jnp.where(inter_p, dy_len, 0)
     qpd_val, qpd_len = se_code(qp_delta)
-    values = jnp.stack([mode_val, dx_val, dy_val, qpd_val], axis=-1)
-    lengths = jnp.stack([mode_len, dx_len, dy_len, qpd_len], axis=-1)
+    values = jnp.stack([mode_val, dx_val, dy_val, qpd_val], axis=0)
+    lengths = jnp.stack([mode_len, dx_len, dy_len, qpd_len], axis=0)
     return jnp.where(lengths > 0, values.astype(jnp.uint32), 0), lengths
+
+
+def header_symbols_v2(qp_delta, is_p_frame, is_inter, dy, dx):
+    """v2 per-MB header symbols [nby, nbx, 4] (SPEC.md §12.3)."""
+    values, lengths = _header_slots_v2(qp_delta, is_p_frame, is_inter, dy, dx)
+    return jnp.moveaxis(values, 0, -1), jnp.moveaxis(lengths, 0, -1)
 
 
 BLOCK_SLOTS_V2 = 3 + 2 * 63  # cbf, se(dcd), ue(nnz_ac), (run, level) x 63
@@ -413,10 +460,10 @@ def _frame_pieces_v2(
     nby, nbx = qp_delta.shape
     n_mbs = nby * nbx
 
-    hv, hl = header_symbols_v2(qp_delta, is_p_frame, is_inter, dy, dx)
-    hwords, hbits, ovf_h = pack_dense(
-        hv.reshape(n_mbs, HEADER_SLOTS), hl.reshape(n_mbs, HEADER_SLOTS), HEADER_WORDS
-    )
+    hv, hl = _header_slots_v2(qp_delta, is_p_frame, is_inter, dy, dx)
+    hwords, hbits, ovf_h = pack_header(hv, hl)
+    hwords = hwords.reshape(n_mbs, HEADER_WORDS)
+    hbits = hbits.reshape(n_mbs)
 
     ywords, ybits, ovf_y = _pack_blocks(
         levels_y8, _dc_pred_left(levels_y8), 2, block_words
@@ -495,10 +542,10 @@ def _frame_pieces(
     nby, nbx = qp_delta.shape
     n_mbs = nby * nbx
 
-    hv, hl = header_symbols(qp_delta, is_p_frame, is_inter, dy, dx)
-    hwords, hbits, ovf_h = pack_dense(
-        hv.reshape(n_mbs, HEADER_SLOTS), hl.reshape(n_mbs, HEADER_SLOTS), HEADER_WORDS
-    )
+    hv, hl = _header_slots(qp_delta, is_p_frame, is_inter, dy, dx)
+    hwords, hbits, ovf_h = pack_header(hv, hl)
+    hwords = hwords.reshape(n_mbs, HEADER_WORDS)
+    hbits = hbits.reshape(n_mbs)
 
     ywords, ybits, ovf_y = _pack_blocks(levels_y8, None, 1, block_words)
     # [2nby, 2nbx, W] -> [n_mbs, 4, W] in (Y00, Y01, Y10, Y11) piece order
@@ -653,6 +700,54 @@ def _pieces_to_chunks(piece_words: jnp.ndarray, piece_bits: jnp.ndarray,
     return cwords, cbits, jnp.asarray(False)
 
 
+def _mb_pieces_to_chunks(hwords, hbits, ywords, ybits, cbwords, cbbits,
+                         crwords, crbits, block_words: int):
+    """Per-MB piece sources -> chunk strings, skipping the [n_mbs, 8, W]
+    HBM materialization on TPU (ops/pallas/pack.super_merge_mb assembles
+    pieces in VMEM — the XLA concatenate it replaces measured 1.8 ms/frame
+    at 4K). Off TPU (and for sub-kernel-size frames) the pieces are
+    assembled here and routed through the existing _pieces_to_chunks."""
+    from ..ops import dispatch
+    from ..ops.pallas import pack as ppack
+
+    n_mbs = hbits.shape[0]
+    piece_bits = jnp.concatenate(
+        [
+            hbits[:, None],
+            ybits,
+            cbbits.reshape(n_mbs, 1),
+            crbits.reshape(n_mbs, 1),
+            jnp.zeros((n_mbs, 1), jnp.int32),
+        ],
+        axis=1,
+    )  # [n_mbs, 8] — ~1 MB at 4K: negligible, unlike the word array
+    mb_bits = piece_bits[:, :7].sum(axis=1)
+    _, h, _, _ = ppack.span_geometry(n_mbs * 8, block_words)
+    if dispatch.use_pallas() and h >= 2:
+        cwords, cbits, ovf_m = ppack.super_merge_mb(
+            hwords, ywords, cbwords.reshape(n_mbs, block_words),
+            crwords.reshape(n_mbs, block_words),
+            piece_bits.reshape(n_mbs * 8),
+        )
+        return cwords, cbits, mb_bits, ovf_m
+    hpad = jnp.pad(hwords, ((0, 0), (0, block_words - HEADER_WORDS)))
+    piece_words = jnp.concatenate(
+        [
+            hpad[:, None],
+            ywords,
+            cbwords.reshape(n_mbs, 1, block_words),
+            crwords.reshape(n_mbs, 1, block_words),
+            jnp.zeros((n_mbs, 1, block_words), jnp.uint32),
+        ],
+        axis=1,
+    )
+    cwords, cbits, ovf_m = _pieces_to_chunks(
+        piece_words.reshape(n_mbs * 8, block_words),
+        piece_bits.reshape(n_mbs * 8), block_words,
+    )
+    return cwords, cbits, mb_bits, ovf_m
+
+
 def pack_frame_chunks(
     levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
     dy, dx, block_words: int,
@@ -663,15 +758,25 @@ def pack_frame_chunks(
     device-assembled stream)."""
     nby, nbx = qp_delta.shape
     n_mbs = nby * nbx
-    piece_words, piece_bits, mb_bits, ovf = _frame_pieces(
-        levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
-        dy, dx, block_words,
+
+    hv, hl = _header_slots(qp_delta, is_p_frame, is_inter, dy, dx)
+    hwords, hbits, ovf_h = pack_header(hv, hl)
+    hwords = hwords.reshape(n_mbs, HEADER_WORDS)
+    hbits = hbits.reshape(n_mbs)
+
+    ywords, ybits, ovf_y = _pack_blocks(levels_y8, None, 1, block_words)
+    ywords = ywords.reshape(nby, 2, nbx, 2, block_words).transpose(0, 2, 1, 3, 4)
+    ywords = ywords.reshape(n_mbs, 4, block_words)
+    ybits = ybits.reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3).reshape(n_mbs, 4)
+    cbwords, cbbits, ovf_cb = _pack_blocks(levels_cb, None, 1, block_words)
+    crwords, crbits, ovf_cr = _pack_blocks(levels_cr, None, 1, block_words)
+
+    cwords, cbits, mb_bits, ovf_m = _mb_pieces_to_chunks(
+        hwords, hbits, ywords, ybits, cbwords, cbbits, crwords, crbits,
+        block_words,
     )
-    cwords, cbits, ovf_m = _pieces_to_chunks(
-        piece_words.reshape(n_mbs * 8, block_words),
-        piece_bits.reshape(n_mbs * 8), block_words,
-    )
-    return cwords, cbits, mb_bits.reshape(nby, nbx), ovf | ovf_m
+    ovf = ovf_h | ovf_y | ovf_cb | ovf_cr | ovf_m
+    return cwords, cbits, mb_bits.reshape(nby, nbx), ovf
 
 
 def pack_frame_chunks_v2(
@@ -679,6 +784,40 @@ def pack_frame_chunks_v2(
     dy, dx, block_words: int,
 ):
     """v2/v3-syntax twin of pack_frame_chunks."""
+    nby, nbx = qp_delta.shape
+    n_mbs = nby * nbx
+
+    hv, hl = _header_slots_v2(qp_delta, is_p_frame, is_inter, dy, dx)
+    hwords, hbits, ovf_h = pack_header(hv, hl)
+    hwords = hwords.reshape(n_mbs, HEADER_WORDS)
+    hbits = hbits.reshape(n_mbs)
+
+    ywords, ybits, ovf_y = _pack_blocks(
+        levels_y8, _dc_pred_left(levels_y8), 2, block_words
+    )
+    ywords = ywords.reshape(nby, 2, nbx, 2, block_words).transpose(0, 2, 1, 3, 4)
+    ywords = ywords.reshape(n_mbs, 4, block_words)
+    ybits = ybits.reshape(nby, 2, nbx, 2).transpose(0, 2, 1, 3).reshape(n_mbs, 4)
+    cbwords, cbbits, ovf_cb = _pack_blocks(
+        levels_cb, _dc_pred_left(levels_cb), 2, block_words
+    )
+    crwords, crbits, ovf_cr = _pack_blocks(
+        levels_cr, _dc_pred_left(levels_cr), 2, block_words
+    )
+
+    cwords, cbits, mb_bits, ovf_m = _mb_pieces_to_chunks(
+        hwords, hbits, ywords, ybits, cbwords, cbbits, crwords, crbits,
+        block_words,
+    )
+    ovf = ovf_h | ovf_y | ovf_cb | ovf_cr | ovf_m
+    return cwords, cbits, mb_bits.reshape(nby, nbx), ovf
+
+
+def _pack_frame_chunks_v2_old(
+    levels_y8, levels_cb, levels_cr, qp_delta, is_p_frame, is_inter,
+    dy, dx, block_words: int,
+):
+    """Pre-r5 piece-array path, kept as the A/B + equality reference."""
     nby, nbx = qp_delta.shape
     n_mbs = nby * nbx
     piece_words, piece_bits, mb_bits, ovf = _frame_pieces_v2(

@@ -264,37 +264,43 @@ def span_geometry(n_pieces: int, w: int):
     return n2, h, h * w + 1, (n2 // k) * 8
 
 
+def _reduce_loop(buf, bits, g: int, w: int, stop: int, cw: int,
+                 bpp_w: int, wpp: int):
+    """The in-kernel pairwise reduction: [g, w] strings -> ([stop, cw],
+    [stop, 1], ovf [1, 1]). bpp_w budgets the INTERMEDIATE level widths: a
+    string of m pieces is given min(exact, bpp_w*m + 1) words. Typical
+    strings fill ~1/12 of their worst case, so a half-budget (bpp_w =
+    block_words/2) halves the merge's placement work; truncation is
+    detected exactly (a level whose true bit count exceeds its width sets
+    the ovf output) and the caller's worst-case rerun re-encodes the GOP
+    unbudgeted. wpp = pieces per input string (1 for stage 1)."""
+    n, width = g, w
+    m = wpp
+    ovf = jnp.zeros((1, 1), jnp.int32)
+    while n > stop:
+        m *= 2
+        w_out = min(2 * width + 1, cw)
+        if m >= 64:  # see _merge_budget: averaging holds at span scale
+            # never shrink below the incoming width (strings are
+            # already that wide; growth just stops at the budget)
+            w_out = max(min(w_out, bpp_w * m + 1), width)
+        buf, bits = _merge_level(buf, bits, width, w_out)
+        ovf = ovf | (jnp.max(bits) > 32 * w_out).astype(jnp.int32)
+        width = w_out
+        n //= 2
+    if width < cw:
+        buf = jnp.pad(buf, ((0, 0), (0, cw - width)))
+    return buf, bits, ovf
+
+
 def _make_reduce_kernel(g: int, w: int, stop: int, cw: int,
                         bpp_w: int, wpp: int):
-    """Merge each [g, w] group of strings down to [stop, cw] in VMEM.
-
-    bpp_w budgets the INTERMEDIATE level widths: a string of m pieces is
-    given min(exact, bpp_w*m + 1) words. Typical strings fill ~1/12 of
-    their worst case, so a half-budget (bpp_w = block_words/2) halves the
-    merge's placement work; truncation is detected exactly (a level whose
-    true bit count exceeds its width sets the ovf output) and the caller's
-    worst-case rerun re-encodes the GOP unbudgeted. wpp = pieces per
-    input string (1 for stage 1)."""
+    """Merge each [g, w] group of strings down to [stop, cw] in VMEM."""
 
     def kernel(pw_ref, pb_ref, out_w_ref, out_b_ref, ovf_ref):
-        buf = pw_ref[0]
-        bits = pb_ref[0]
-        n, width = g, w
-        m = wpp
-        ovf = jnp.zeros((1, 1), jnp.int32)
-        while n > stop:
-            m *= 2
-            w_out = min(2 * width + 1, cw)
-            if m >= 64:  # see _merge_budget: averaging holds at span scale
-                # never shrink below the incoming width (strings are
-                # already that wide; growth just stops at the budget)
-                w_out = max(min(w_out, bpp_w * m + 1), width)
-            buf, bits = _merge_level(buf, bits, width, w_out)
-            ovf = ovf | (jnp.max(bits) > 32 * w_out).astype(jnp.int32)
-            width = w_out
-            n //= 2
-        if width < cw:
-            buf = jnp.pad(buf, ((0, 0), (0, cw - width)))
+        buf, bits, ovf = _reduce_loop(
+            pw_ref[0], pb_ref[0], g, w, stop, cw, bpp_w, wpp
+        )
         out_w_ref[0] = buf
         out_b_ref[0] = bits
         ovf_ref[0] = ovf
@@ -350,15 +356,17 @@ def _merge_budget(w: int) -> int:
     levels of m >= 64 pieces (8+ macroblocks — the scale where averaging
     holds; a first attempt budgeted every level and two adjacent dense
     blocks overflowed the m=2 cap at ordinary qp, thrashing worst-case
-    reruns). At bpp_w = w/2 the >= 64-piece levels — which carry most of
-    the width-work — halve, and genuine overflows (>= 64 consecutive
-    pieces averaging > 16*bpp_w bits each) are detected exactly and
-    re-encoded through the unbudgeted worst-case path."""
+    reruns). r4 shipped bpp_w = w/2; the r5 A/B measured w/4 another
+    0.4 ms/frame faster at 4K with zero overflows at qp 14-30 on the bench
+    content (>= 64 consecutive pieces must AVERAGE > 8*bpp_w bits each to
+    overflow — 1/4 of worst case over 8+ macroblocks). Genuine overflows
+    are detected exactly and re-encoded through the unbudgeted worst-case
+    path."""
     from ...codec import entropy as _e
 
     if w >= _e.BLOCK_WORDS_MAX:
         return w
-    return max(w // 2, 2)
+    return max(w // 4, 2)
 
 
 def _super_merge_impl(buffers: jnp.ndarray, bits: jnp.ndarray,
@@ -422,3 +430,194 @@ def super_merge(buffers: jnp.ndarray, bits: jnp.ndarray):
     entropy.tree_concat over each span's pieces (intermediate widths are
     budgeted — see _merge_budget — and overflow reports any truncation)."""
     return _super_merge_public()(buffers, bits)
+
+
+# ---------------------------------------------------------------------------
+# r5 MB-source stage 1: the XLA concatenate that assembled the zero-padded
+# [n_mbs, 8, W] piece array for super_merge measured 1.8 ms/frame at 4K
+# (in-engine sub-ablation: 34.5 -> 32.8 with the concat replaced by a
+# broadcast) — it writes ~33 MB of mostly padding to HBM only for stage 1
+# to read it straight back. super_merge_mb instead takes the four compact
+# per-MB sources (header / 4 luma pieces / Cb / Cr word strings) and
+# interleaves them into the [g, w] piece buffer INSIDE the stage-1 kernel:
+# a VMEM-side concat along a middle axis + sublane reshape, no HBM
+# round-trip. piece_bits stay XLA-assembled (1 MB — negligible).
+# ---------------------------------------------------------------------------
+
+
+def _make_mb_stage1_kernel(gmb: int, w: int, stop: int, cw: int, bpp_w: int):
+    """Stage-1 reduce whose instance assembles its g = gmb*8 pieces from
+    per-MB sources: rows 8m+(0..7) = header (lane-padded), Y00..Y11, Cb,
+    Cr, empty — the exact _frame_pieces order (codec/entropy.py)."""
+
+    def kernel(hw_ref, yw_ref, cbw_ref, crw_ref, pb_ref,
+               out_w_ref, out_b_ref, ovf_ref):
+        hpad = jnp.pad(hw_ref[0], ((0, 0), (0, w - hw_ref.shape[-1])))
+        pieces = jnp.concatenate(
+            [
+                hpad[:, None, :],
+                yw_ref[0],
+                cbw_ref[0][:, None, :],
+                crw_ref[0][:, None, :],
+                jnp.zeros((gmb, 1, w), jnp.uint32),
+            ],
+            axis=1,
+        )  # [gmb, 8, w]
+        buf = pieces.reshape(gmb * 8, w)
+        buf, bits, ovf = _reduce_loop(
+            buf, pb_ref[0], gmb * 8, w, stop, cw, bpp_w, 1
+        )
+        out_w_ref[0] = buf
+        out_b_ref[0] = bits
+        ovf_ref[0] = ovf
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _mb_stage1_call(n_groups: int, gmb: int, hww: int, w: int, stop: int,
+                    cw: int, bpp_w: int):
+    kernel = _make_mb_stage1_kernel(gmb, w, stop, cw, bpp_w)
+
+    def call(hw, yw, cbw, crw, pb):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_groups,),
+            in_specs=[
+                pl.BlockSpec((1, gmb, hww), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gmb, 4, w), lambda c: (c, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gmb, w), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gmb, w), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gmb * 8, 1), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, stop, cw), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, stop, 1), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1), lambda c: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_groups, stop, cw), jnp.uint32),
+                jax.ShapeDtypeStruct((n_groups, stop, 1), jnp.int32),
+                jax.ShapeDtypeStruct((n_groups, 1, 1), jnp.int32),
+            ],
+        )(hw, yw, cbw, crw, pb)
+
+    return call
+
+
+def _pad_mb_rows(a, n_mbs2):
+    n = a.shape[0]
+    if n == n_mbs2:
+        return a
+    return jnp.pad(a, ((0, n_mbs2 - n),) + ((0, 0),) * (a.ndim - 1))
+
+
+def _super_merge_mb_impl(hw, yw, cbw, crw, piece_bits,
+                         n_frame: int | None = None):
+    """Per-MB sources -> span strings. hw [n_mbs, HW] u32, yw [n_mbs, 4, w]
+    u32 (piece order), cbw/crw [n_mbs, w] u32, piece_bits [n_mbs*8] i32
+    (already in piece order, zero for the empty 8th piece). See
+    _super_merge_impl for n_frame (batched callers pre-pad each frame to
+    span_geometry's padded_n)."""
+    n_mbs, _, w = yw.shape
+    n = n_mbs * 8
+    if n_frame is None:
+        n2, h, cw, n_strings = span_geometry(n, w)
+        n_mbs2 = n2 // 8
+        hw = _pad_mb_rows(hw, n_mbs2)
+        yw = _pad_mb_rows(yw, n_mbs2)
+        cbw = _pad_mb_rows(cbw, n_mbs2)
+        crw = _pad_mb_rows(crw, n_mbs2)
+        if piece_bits.shape[0] != n2:
+            piece_bits = jnp.pad(piece_bits, (0, n2 - piece_bits.shape[0]))
+    else:
+        n2, h, cw, n_strings = span_geometry(n_frame, w)
+        assert n_frame == n2 and n % n2 == 0
+        n_mbs2 = n_mbs
+    bpp_w = _merge_budget(w)
+    k1 = _stage1_k(w)
+    if h == k1 // 2:  # two-stage shape
+        m1 = k1 // 8
+        cw1 = m1 * w + 1
+        if m1 >= 64:
+            cw1 = min(cw1, bpp_w * m1 + 1)
+        gmb = k1 // 8
+        call = _mb_stage1_call(n_mbs2 // gmb, gmb, hw.shape[-1], w, 8, cw1,
+                               bpp_w)
+        s1w, s1b, ov1 = call(
+            hw.reshape(n_mbs2 // gmb, gmb, -1),
+            yw.reshape(n_mbs2 // gmb, gmb, 4, w),
+            cbw.reshape(n_mbs2 // gmb, gmb, w),
+            crw.reshape(n_mbs2 // gmb, gmb, w),
+            piece_bits.reshape(n_mbs2 // gmb, gmb * 8, 1).astype(jnp.int32),
+        )
+        s1w = s1w.reshape(-1, cw1)
+        s1b = s1b.reshape(-1)
+        cwf = min(cw, bpp_w * 4 * m1 + 1) if 4 * m1 >= 64 else cw
+        sw, sb, ov2 = _reduce(s1w, s1b, 32, 8, cwf, bpp_w, m1)
+        return sw, sb, ov1.any() | ov2
+    # single-stage shape: k = 8h pieces per instance = h MBs
+    gmb = h
+    cap = min(cw, bpp_w * h + 1) if h >= 64 else cw
+    call = _mb_stage1_call(n_mbs2 // gmb, gmb, hw.shape[-1], w, 8, cap, bpp_w)
+    sw, sb, ov = call(
+        hw.reshape(n_mbs2 // gmb, gmb, -1),
+        yw.reshape(n_mbs2 // gmb, gmb, 4, w),
+        cbw.reshape(n_mbs2 // gmb, gmb, w),
+        crw.reshape(n_mbs2 // gmb, gmb, w),
+        piece_bits.reshape(n_mbs2 // gmb, gmb * 8, 1).astype(jnp.int32),
+    )
+    return sw.reshape(-1, sw.shape[-1]), sb.reshape(-1), ov.any()
+
+
+@functools.lru_cache(maxsize=2)
+def _super_merge_mb_public():
+    @jax.custom_batching.custom_vmap
+    def fn(hw, yw, cbw, crw, piece_bits):
+        return _super_merge_mb_impl(hw, yw, cbw, crw, piece_bits)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, hw, yw, cbw, crw, piece_bits):
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+        hw, yw, cbw, crw, piece_bits = (
+            bc(x, b) for x, b in
+            zip((hw, yw, cbw, crw, piece_bits), in_batched)
+        )
+        g, n_mbs = yw.shape[:2]
+        n = n_mbs * 8
+        w = yw.shape[-1]
+        n2, _, _, n_strings = span_geometry(n, w)
+        if n2 != n:  # pad each frame's MB axis to the span geometry
+            def padf(a):
+                return jnp.pad(a, ((0, 0), (0, n2 // 8 - n_mbs))
+                               + ((0, 0),) * (a.ndim - 2))
+            hw, yw, cbw, crw = padf(hw), padf(yw), padf(cbw), padf(crw)
+            piece_bits = jnp.pad(piece_bits, ((0, 0), (0, n2 - n)))
+        nm2 = n2 // 8
+        cw_, cb_, ov = _super_merge_mb_impl(
+            hw.reshape(g * nm2, -1),
+            yw.reshape(g * nm2, 4, w),
+            cbw.reshape(g * nm2, -1),
+            crw.reshape(g * nm2, -1),
+            piece_bits.reshape(g * n2), n_frame=n2,
+        )
+        return (cw_.reshape(g, n_strings, -1), cb_.reshape(g, n_strings),
+                jnp.broadcast_to(ov, (g,))), (True, True, True)
+
+    return fn
+
+
+def super_merge_mb(hw, yw, cbw, crw, piece_bits):
+    """super_merge from per-MB piece sources (header/Y×4/Cb/Cr word
+    strings + piece-order bit counts): identical output strings, no HBM
+    materialization of the [n_mbs, 8, w] piece array."""
+    return _super_merge_mb_public()(hw, yw, cbw, crw, piece_bits)

@@ -339,7 +339,10 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
 
 def _fs_tile_shape(nby: int, nbx: int) -> tuple[int, int]:
     """Pick the MB-tile shape: wide tiles win (bigger matmuls, amortized
-    rots), bounded by grid size so small frames don't pad away the gain."""
+    rots), bounded by grid size so small frames don't pad away the gain.
+    (TM=16 at 4K measured ~3% faster STANDALONE — exp_fs_tile — but
+    0.3 ms/frame SLOWER inside the GOP program, where its 13 MB scratch
+    footprint squeezes the rest; tried r4 and again r5, kept at 8.)"""
     tn = 32 if nbx >= 48 else (16 if nbx >= 16 else 8)
     tm = 8 if nby >= 32 else 4
     return tm, tn
