@@ -1,7 +1,10 @@
 """Measured check of the large-m merge width budget (ops/pallas/pack.py
 _merge_budget): per-resolution/qp timing, overflow incidence on the bench
-content, and chunks-vs-frame stream byte-equality. Results in
-tools/merge_budget_results.json."""
+content, and chunks-vs-frame stream byte-equality. WRITES
+tools/merge_budget_results.json (plus GOP=8 4K and GOP=30 1080p headline
+rows). The bits_sum pin is the r4 value — every r5 pack change
+(super_merge_mb, lane-wise header, w/4 budget, single-reduction wbody) is
+byte-exact, so it must keep matching."""
 import os
 import sys, time, json
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -11,7 +14,12 @@ from video_encoder_tpu.codec import entropy, spec
 from video_encoder_tpu.parallel.tiles import bit_concat
 from video_encoder_tpu.pipeline.gop_engine import _block_words_for_qp, encode_gop_jit
 
-for H, W, T, reps in ((1080, 1920, 8, 5), (2160, 3840, 4, 3)):
+results = {"_meta": {"platform": jax.default_backend(),
+                     "note": "r5: MB-source merge + w/4 budget + "
+                             "single-reduction block-pack wbody"}}
+
+for H, W, T, reps in ((1080, 1920, 8, 5), (1080, 1920, 30, 4),
+                      (2160, 3840, 4, 3), (2160, 3840, 8, 3)):
     hp = spec.ceil_to(H, 16)
     nm = (hp // 16) * (W // 16)
     y, cb, cr = synth_clip(T, hp, W)
@@ -29,8 +37,12 @@ for H, W, T, reps in ((1080, 1920, 8, 5), (2160, 3840, 4, 3)):
             outs = encode_gop_jit(yd, cbd, crd, qp, **kw)
         np.asarray(outs["bits"])
         ms = (time.perf_counter()-t0)/(reps*T)*1e3
-        print(json.dumps({"res": f"{W}x{H}", "qp": qp, "bw": bw, "ovf": ovf,
-                          "ms": round(ms,3), "fps": round(1e3/ms,1),
+        row = {"ms": round(ms, 3), "fps": round(1e3/ms, 1), "ovf": ovf}
+        tag = "1080p" if H == 1080 else "4K"
+        results[f"{tag}_gop{T}_qp{qp}"] = row
+        print(json.dumps({"res": f"{W}x{H}", "gop": T, "qp": qp, "bw": bw,
+                          "ovf": ovf, "ms": round(ms,3),
+                          "fps": round(1e3/ms,1),
                           "compile_s": round(cs,1)}), flush=True)
 
 # stream equality at 1080p qp30 vs frame path
@@ -51,5 +63,11 @@ for t in range(T):
     pf = wf[t][: (int(bits_f[t]) + 31)//32].astype(">u4").tobytes()
     pc, nb = bit_concat([(cw_[t, c], int(cb_[t, c])) for c in range(cb_.shape[1]) if cb_[t, c]])
     ok &= (nb == int(bits_f[t]) and pc == pf)
+results["stream_equality_vs_frame_path"] = bool(ok)
+results["bits_sum_matches_prechange"] = int(bits_f.sum()) == 11048559
 print(json.dumps({"stream_equality": bool(ok),
                   "bits_sum_matches": int(bits_f.sum()) == 11048559}), flush=True)
+out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "merge_budget_results.json")
+with open(out, "w") as f:
+    json.dump(results, f, indent=1)

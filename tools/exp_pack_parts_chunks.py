@@ -1,15 +1,15 @@
 """Decompose the CHUNKS-emit pack cost (the production path) at any
 resolution — r5 follow-up to exp_pack_parts.py after the 4K DCE ablation
 re-attributed 14.6 ms/frame to the pack (tools/ablate_dce_results.json,
-4K emit=chunks). Seams, cut one at a time:
+4K emit=chunks). Updated for the r5 MB-source merge (super_merge_mb took
+over from _frame_pieces + _pieces_to_chunks). Seams, cut one at a time:
 
-  full       the real program (fused block_pack kernel + super_merge)
-  no-merge   _pieces_to_chunks -> constants (keeps the block_pack kernel
-             and the piece glue; removes the super-merge kernels)
-  no-glue    _frame_pieces -> constants that keep the fused kernel's
-             cost alive (removes the piece concat/transpose glue AND the
-             merge)
-  no-pack    pack_frame_chunks -> constants (everything pack-side gone)
+  full          the real program (fused block_pack + super_merge_mb)
+  no-merge      _mb_pieces_to_chunks -> constants (keeps block_pack,
+                header pack, and the y transpose; removes the merge)
+  no-blockpack  _pack_blocks -> constants (removes the fused symbols+pack
+                kernel; keeps everything around it)
+  no-pack       pack_frame_chunks -> constants (everything pack-side gone)
 
 Fresh function objects per variant (jit executable cache keys on callable
 identity). Streams are garbage; only timing matters. Writes
@@ -75,58 +75,55 @@ def main():
               "fmt", "cqpo", "qbias", "vbv_bits", "qmat", "unroll", "islice",
               "emit")
 
-    real_merge = entropy._pieces_to_chunks
-    real_pieces = entropy._frame_pieces
+    real_merge = entropy._mb_pieces_to_chunks
+    real_blocks = entropy._pack_blocks
     real_packc = entropy.pack_frame_chunks
 
-    def no_merge(piece_words, piece_bits, block_words):
-        n, w = piece_words.shape
-        ns, h_, cw = entropy.chunk_capacity(n, block_words)
-        keep = piece_words.astype(jnp.int32).sum() + piece_bits.sum()
+    def no_merge(hw, hb, yw, yb, cbw, cbb, crw, crb, block_words):
+        n_mbs_ = hb.shape[0]
+        ns, h_, cw = entropy.chunk_capacity(n_mbs_ * 8, block_words)
+        keep = (hw.astype(jnp.int32).sum() + yw.astype(jnp.int32).sum()
+                + cbw.astype(jnp.int32).sum() + crw.astype(jnp.int32).sum()
+                + hb.sum() + yb.sum() + cbb.sum() + crb.sum())
         return (jnp.zeros((ns, cw), jnp.uint32) + keep.astype(jnp.uint32),
-                jnp.full((ns,), 32, jnp.int32), jnp.asarray(False))
+                jnp.full((ns,), 32, jnp.int32),
+                jnp.zeros((n_mbs_,), jnp.int32), jnp.asarray(False))
 
-    def no_glue(levels_y8, levels_cb, levels_cr, qp_delta, is_p, is_inter,
-                dy, dx, block_words):
-        nby, nbx = qp_delta.shape
-        n_mbs_ = nby * nbx
-        w1, b1, _ = entropy._pack_blocks(levels_y8, None, 1, block_words)
-        w2, b2, _ = entropy._pack_blocks(levels_cb, None, 1, block_words)
-        w3, b3, _ = entropy._pack_blocks(levels_cr, None, 1, block_words)
-        keep = (w1.astype(jnp.int32).sum() + w2.astype(jnp.int32).sum()
-                + w3.astype(jnp.int32).sum()
-                + b1.sum() + b2.sum() + b3.sum())
-        pw = jnp.zeros((n_mbs_, 8, block_words), jnp.uint32) + keep.astype(jnp.uint32)
-        pb = jnp.zeros((n_mbs_, 8), jnp.int32)
-        mb = jnp.zeros((nby, nbx), jnp.int32)
-        return pw, pb, mb, jnp.asarray(False)
+    def no_blockpack(levels, dc_pred, fmt_, block_words):
+        lead = levels.shape[:-1]
+        keep = levels.sum() + (0 if dc_pred is None else dc_pred.sum())
+        w = jnp.zeros((*lead, block_words), jnp.uint32) + keep.astype(jnp.uint32)
+        b = jnp.full(lead, 40, jnp.int32)
+        return w, b, jnp.asarray(False)
 
     def no_pack(lz_y, lz_cb, lz_cr, qpd, is_p, is_inter, dy, dx, bwv):
         nby, nbx = qpd.shape
         nc, h_, cw = entropy.chunk_capacity(nby * nbx * 8, bwv)
-        return (jnp.zeros((nc, cw), jnp.uint32),
+        keep = (lz_y.sum() + lz_cb.sum() + lz_cr.sum() + qpd.sum()
+                + dy.sum() + dx.sum())
+        return (jnp.zeros((nc, cw), jnp.uint32) + keep.astype(jnp.uint32),
                 jnp.full((nc,), 32, jnp.int32),
                 jnp.zeros((nby, nbx), jnp.int32), jnp.asarray(False))
 
     variants = [
         ("full", {}),
         ("no-merge", {"merge": no_merge}),
-        ("no-glue", {"pieces": no_glue}),
+        ("no-blockpack", {"blocks": no_blockpack}),
         ("no-pack", {"packc": no_pack}),
     ]
     results = {"_meta": dict(platform=jax.default_backend(), h=H, w=W, t=T,
                              reps=REPS, emit="chunks")}
     base = None
     for name, patches in variants:
-        entropy._pieces_to_chunks = patches.get("merge", real_merge)
-        entropy._frame_pieces = patches.get("pieces", real_pieces)
+        entropy._mb_pieces_to_chunks = patches.get("merge", real_merge)
+        entropy._pack_blocks = patches.get("blocks", real_blocks)
         entropy.pack_frame_chunks = patches.get("packc", real_packc)
         try:
             jitted = jax.jit(_fresh_fn(fn), static_argnames=static)
             ms = timed(jitted, yd, cbd, crd, kw)
         finally:
-            entropy._pieces_to_chunks = real_merge
-            entropy._frame_pieces = real_pieces
+            entropy._mb_pieces_to_chunks = real_merge
+            entropy._pack_blocks = real_blocks
             entropy.pack_frame_chunks = real_packc
         base = ms if base is None else base
         results[name] = dict(ms_per_frame=round(ms, 3),

@@ -199,14 +199,22 @@ def _make_block_pack_kernel(fmt: int, n_words: int, batched: bool):
         lanes_w = jax.lax.broadcasted_iota(jnp.int32, (lv.shape[0], n_words), 1)
 
         def wbody(w, acc):
+            # sum the planes' masked contributions FIRST (cheap elementwise
+            # adds on disjoint-bit patterns), then ONE cross-lane reduction
+            # — the per-plane jnp.sum version paid a log-step reduction
+            # chain per plane per word (measured ~2 ms/frame at 4K, r5).
+            # Header planes are [BT, 1]: accumulated directly (a shared
+            # [BT, 64] accumulator would broadcast them 64x).
             col = jnp.zeros((lv.shape[0], 1), jnp.int32)
+            sel = None
             for w1, c1, c2 in contribs:
-                col = col + jnp.sum(
-                    jnp.where(w1 == w, c1, 0), axis=1, keepdims=True
-                )
-                col = col + jnp.sum(
-                    jnp.where(w1 + 1 == w, c2, 0), axis=1, keepdims=True
-                )
+                a = jnp.where(w1 == w, c1, 0) + jnp.where(w1 + 1 == w, c2, 0)
+                if a.shape[1] == 1:
+                    col = col + a
+                else:
+                    sel = a if sel is None else sel + a
+            if sel is not None:
+                col = col + jnp.sum(sel, axis=1, keepdims=True)
             return jnp.where(lanes_w == w, col, acc)
 
         n_dyn = jnp.minimum(((jnp.max(bits) + 63) >> 5) + 1, n_words)
