@@ -91,57 +91,166 @@ def cmd_encode(a) -> int:
         print("error: --multiprocess needs the gop engine, single pass",
               file=sys.stderr)
         return 2
+    if a.checkpoint and (a.two_pass or a.multiprocess > 1 or a.devices > 1
+                         or a.tile > 1 or a.gop_batch > 1):
+        print("error: --checkpoint is the single-engine serial path (no "
+              "--two-pass/--multiprocess/--devices/--tile/--gop-batch); "
+              "GOPs are the resume unit", file=sys.stderr)
+        return 2
+    if a.failover and (a.two_pass or a.multiprocess > 1 or a.engine != "gop"):
+        print("error: --failover wraps the gop/sharded engines, single pass",
+              file=sys.stderr)
+        return 2
 
+    from .utils.trace import EventLog, StageTimer, trace
+
+    timer = StageTimer() if a.stage_timers else None
     on_frame = (lambda s: print(s.to_json(), file=sys.stderr)) if a.verbose else None
     t0 = time.perf_counter()
-    with open(a.output, "wb") as fo:
-        if a.two_pass:
-            from .pipeline.encoder import encode_clip_twopass
+    with trace(a.trace):
+        if a.checkpoint:
+            # resume path: must NOT truncate the output — the writer seeks
+            # to the checkpointed byte offset (pipeline/bitstream_writer.py)
+            from .pipeline.encoder import encode_clip_resumable
+            from .pipeline.gop_engine import GopEngine
 
-            if engine is None:
-                from .pipeline.gop_engine import GopEngine
+            eng = engine
+            if eng is None:
+                eng = GopEngine(cfg)
+            elif not hasattr(eng, "encode_gop"):
+                from .pipeline import encoder as enc_mod
 
-                engine = GopEngine(cfg)  # GOP-resident engine, both passes
-            summary = encode_clip_twopass(
-                cfg, lambda: yuv.open_clip(a.input, a.width, a.height)[3],
-                fo, n_frames, engine=engine, on_frame=on_frame,
-            )
-        elif a.multiprocess > 1:
-            summary = _encode_multiprocess(
-                cfg, a.input, a.width, a.height, fo, n_frames, a.multiprocess
-            )
-        elif a.devices > 1 or a.tile > 1:
-            summary = _encode_sharded(
-                cfg, frames, fo, n_frames, a.devices, a.tile, a.verbose
-            )
-        elif engine is None:
-            summary = _encode_gop_resident(
-                cfg, frames, fo, n_frames, a.verbose, a.gop_batch
+                per_frame = eng
+
+                class _PerFrameGopAdapter:
+                    def encode_gop(self, gframes, first):
+                        return enc_mod.encode_gop(
+                            cfg, per_frame, gframes, 0, first
+                        )
+
+                eng = _PerFrameGopAdapter()
+            summary = encode_clip_resumable(
+                cfg, frames, a.output, n_frames, eng, a.checkpoint,
+                timer=timer,
+                log=EventLog(sys.stderr) if a.verbose else None,
             )
         else:
-            summary = encode_clip(
-                cfg, frames, fo, n_frames, engine=engine,
-                on_frame=on_frame,
-            )
+            with open(a.output, "wb") as fo:
+                if a.two_pass:
+                    from .pipeline.encoder import encode_clip_twopass
+
+                    if engine is None:
+                        from .pipeline.gop_engine import GopEngine
+
+                        engine = GopEngine(cfg)  # GOP-resident, both passes
+                    summary = encode_clip_twopass(
+                        cfg,
+                        lambda: yuv.open_clip(a.input, a.width, a.height)[3],
+                        fo, n_frames, engine=engine, on_frame=on_frame,
+                    )
+                elif a.multiprocess > 1:
+                    summary = _encode_multiprocess(
+                        cfg, a.input, a.width, a.height, fo, n_frames,
+                        a.multiprocess
+                    )
+                elif a.devices > 1 or a.tile > 1:
+                    summary = _encode_sharded(
+                        cfg, frames, fo, n_frames, a.devices, a.tile,
+                        a.verbose, failover=a.failover,
+                    )
+                elif a.failover:
+                    summary = _encode_failover(cfg, frames, fo, n_frames)
+                elif engine is None:
+                    summary = _encode_gop_resident(
+                        cfg, frames, fo, n_frames, a.verbose, a.gop_batch,
+                        timer=timer,
+                    )
+                else:
+                    summary = encode_clip(
+                        cfg, frames, fo, n_frames, engine=engine,
+                        on_frame=on_frame,
+                    )
     wall = time.perf_counter() - t0
     out = json.loads(summary.to_json())
     out["wall_s"] = round(wall, 3)
     out["wall_fps"] = round(summary.frames / wall, 2) if wall else 0
+    if timer is not None:
+        out["stages"] = timer.report()
     print(json.dumps(out))
     return 0
 
 
-def _encode_gop_resident(cfg, frames, fo, n_frames, verbose, gop_batch=1):
+def _encode_failover(cfg, frames, fo, n_frames):
+    """--failover: per-GOP retry + engine failover around the GOP engine
+    (SURVEY.md §5 failure row; parallel/failover.py). The golden GOP
+    adapter is the always-alive survivor — same bytes by construction.
+    TVC_FAULT_GOPS=0,30 (first-frame indices) + TVC_FAULT_TIMES inject
+    faults to exercise the re-dispatch path from the real CLI."""
+    import os
+
+    from .codec.bitstream import OrderedMux
+    from .codec.golden import Frame
+    from .parallel.failover import FaultInjector, encode_gops_with_recovery
+    from .pipeline.encoder import GoldenGopAdapter
+    from .pipeline.gop_engine import GopEngine
+
+    fault = None
+    if os.environ.get("TVC_FAULT_GOPS"):
+        fault = FaultInjector(
+            {int(x) for x in os.environ["TVC_FAULT_GOPS"].split(",")},
+            times=int(os.environ.get("TVC_FAULT_TIMES", "1")),
+        )
+    eng = GopEngine(cfg)
+    mux = OrderedMux(fo, cfg, n_frames)
+    summary = RunSummary()
+    gop: list = []
+    start = 0
+    count = 0
+
+    def flush(gop, start):
+        packets = encode_gops_with_recovery(
+            eng, [gop], [start], fallback=GoldenGopAdapter(cfg), fault=fault
+        )
+        for p in packets:
+            mux.push(p)
+            summary.add(FrameStats(index=p.index, frame_type=p.frame_type,
+                                   base_qp=p.base_qp, bits=p.payload_bits))
+
+    for planes in frames:
+        if count >= n_frames:
+            break
+        gop.append(Frame.from_planes(*planes))
+        count += 1
+        if len(gop) == cfg.gop_n:
+            flush(gop, start)
+            start += len(gop)
+            gop = []
+    if gop:
+        flush(gop, start)
+    mux.close()
+    if fault is not None:
+        print(json.dumps({"faults_injected": fault.injected}), file=sys.stderr)
+    return summary
+
+
+def _encode_gop_resident(cfg, frames, fo, n_frames, verbose, gop_batch=1,
+                         timer=None):
     """Production path: GOP-resident device encode + ordered mux.
 
     gop_batch=G > 1 groups G full GOPs into one lockstep device program
     (gop_engine.encode_gop_batch_jit) — amortizes the scan's per-iteration
     cost over G frames; byte-identical to G=1 (tests/test_gop_batch.py).
     The tail (< G full GOPs, or a short last GOP) goes through the
-    single-GOP program."""
+    single-GOP program. timer (--stage-timers) splits upload/dispatch vs
+    device-drain+mux wall time."""
+    import contextlib
+
     from .codec.bitstream import OrderedMux
     from .codec.golden import Frame
     from .pipeline.gop_engine import GopEngine
+
+    def stage(name):
+        return timer.stage(name) if timer else contextlib.nullcontext()
 
     eng = GopEngine(cfg)
     mux = OrderedMux(fo, cfg, n_frames)
@@ -162,14 +271,17 @@ def _encode_gop_resident(cfg, frames, fo, n_frames, verbose, gop_batch=1):
                 print(s.to_json(), file=sys.stderr)
 
     def drain(handle):
-        if handle["kind"] == "batch":
-            for pk, st in eng.encode_gops_finish(handle["h"]):
-                emit(pk, st)
-        else:
-            emit(*eng.encode_gop_finish(handle["h"]))
+        with stage("drain+mux"):
+            if handle["kind"] == "batch":
+                for pk, st in eng.encode_gops_finish(handle["h"]):
+                    emit(pk, st)
+            else:
+                emit(*eng.encode_gop_finish(handle["h"]))
 
-    def launch(handle):
+    def launch(kind, starter, *sargs):
         nonlocal pending
+        with stage("upload+dispatch"):
+            handle = dict(kind=kind, h=starter(*sargs))
         if pending is not None:
             drain(pending)
         pending = handle
@@ -184,32 +296,40 @@ def _encode_gop_resident(cfg, frames, fo, n_frames, verbose, gop_batch=1):
                 batch.append(gop)
                 batch_firsts.append(start)
                 if len(batch) == gop_batch:
-                    launch(dict(kind="batch",
-                                h=eng.encode_gops_start(batch, batch_firsts)))
+                    launch("batch", eng.encode_gops_start, batch,
+                           batch_firsts)
                     batch, batch_firsts = [], []
             else:
-                launch(dict(kind="one", h=eng.encode_gop_start(gop, start)))
+                launch("one", eng.encode_gop_start, gop, start)
             start += len(gop)
             gop = []
     # tail: leftover full GOPs (batched if >1 of them), then the short GOP
     if len(batch) > 1:
-        launch(dict(kind="batch", h=eng.encode_gops_start(batch, batch_firsts)))
+        launch("batch", eng.encode_gops_start, batch, batch_firsts)
     elif batch:
-        launch(dict(kind="one", h=eng.encode_gop_start(batch[0], batch_firsts[0])))
+        launch("one", eng.encode_gop_start, batch[0], batch_firsts[0])
     if gop:
-        launch(dict(kind="one", h=eng.encode_gop_start(gop, start)))
+        launch("one", eng.encode_gop_start, gop, start)
     if pending is not None:
         drain(pending)
     mux.close()
     return summary
 
 
-def _encode_sharded(cfg, frames, fo, n_frames, devices, tile, verbose):
+def _encode_sharded(cfg, frames, fo, n_frames, devices, tile, verbose,
+                    failover=False):
     """Multi-device clip encode from the command line (BASELINE configs
     4–5): GOPs sharded over the ('gop','tile') mesh via ShardedGopEncoder;
     byte-identical to the single-device stream (tests/test_cli_parallel.py).
     Runs on real chips or the fake CPU mesh (TVC_PLATFORM=cpu; the CLI
-    sets xla_force_host_platform_device_count automatically)."""
+    sets xla_force_host_platform_device_count automatically).
+
+    failover=True re-dispatches a failed device batch GOP-by-GOP through
+    the single-device engine with per-GOP retry (parallel/failover.py) —
+    the surviving-engine path a real chip loss takes; exercised from the
+    CLI via TVC_FAULT_GOPS (fault-injection, first-frame indices)."""
+    import os
+
     import jax
 
     from .codec.bitstream import OrderedMux
@@ -236,12 +356,38 @@ def _encode_sharded(cfg, frames, fo, n_frames, devices, tile, verbose):
     start = 0
     count = 0
 
+    fault = None
+    if failover and os.environ.get("TVC_FAULT_GOPS"):
+        from .parallel.failover import FaultInjector
+
+        fault = FaultInjector(
+            {int(x) for x in os.environ["TVC_FAULT_GOPS"].split(",")},
+            times=int(os.environ.get("TVC_FAULT_TIMES", "1")),
+        )
+
     def flush_batch():
         nonlocal batch, firsts
         if not batch:
             return
         if len(batch) == n_gop_dev:
-            packets = senc.encode_gop_batch(batch, firsts)
+            try:
+                if fault is not None:
+                    for fi in firsts:
+                        fault.check(fi)
+                packets = senc.encode_gop_batch(batch, firsts)
+            except Exception as e:
+                if not failover:
+                    raise
+                from .parallel.failover import (RECOVERABLE,
+                                                encode_gops_with_recovery)
+
+                if not isinstance(e, RECOVERABLE):
+                    raise
+                print(json.dumps({"failover": "device batch failed, "
+                                  "re-dispatching on survivor",
+                                  "firsts": firsts, "err": str(e)}),
+                      file=sys.stderr)
+                packets = encode_gops_with_recovery(eng, batch, firsts)
             for p in packets:
                 mux.push(p)
                 summary.add(FrameStats(index=p.index, frame_type=p.frame_type,
@@ -490,6 +636,21 @@ def main(argv=None) -> int:
     e.add_argument("--multiprocess", type=int, default=0,
                    help="spawn N localhost jax.distributed worker processes "
                         "(the DCN-shaped path) and mux their packets")
+    e.add_argument("--checkpoint", default="",
+                   help="checkpoint file for killable encodes: resumes "
+                        "losslessly at the last GOP boundary (byte-identical "
+                        "stream); cleared on completion")
+    e.add_argument("--trace", default="",
+                   help="write a jax.profiler device trace (TensorBoard "
+                        "format) of the encode to this directory")
+    e.add_argument("--stage-timers", action="store_true",
+                   help="report per-stage host wall time (upload/dispatch "
+                        "vs drain+mux) in the summary JSON")
+    e.add_argument("--failover", action="store_true",
+                   help="per-GOP retry + engine failover (GOPs are the "
+                        "recovery unit); with --devices, a failed device "
+                        "batch re-dispatches on the single-device survivor. "
+                        "TVC_FAULT_GOPS=i,j injects faults for testing")
     e.add_argument("-v", "--verbose", action="store_true")
     e.set_defaults(fn=cmd_encode)
 

@@ -263,7 +263,15 @@ def spawn_clip_encode(cfg, in_path: str, width: int, height: int,
         ncores = os.cpu_count() or 1
         pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for i in range(nproc):
-            env = dict(env, TVC_CPU_PIN=str(i % ncores))
+            # pin one worker per core only while cores outnumber workers:
+            # with nproc > ncores, i % ncores would SHARE single cores and
+            # serialize the collisions — worse than free scheduling
+            # (ADVICE r4 low)
+            if nproc <= ncores:
+                env = dict(env, TVC_CPU_PIN=str(i % ncores))
+            else:
+                env = dict(env)
+                env.pop("TVC_CPU_PIN", None)
             procs.append(subprocess.Popen(
                 [sys.executable, "-m", "video_encoder_tpu.parallel.multiprocess",
                  "--process-id", str(i), "--num-processes", str(nproc),

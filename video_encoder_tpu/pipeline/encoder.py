@@ -111,9 +111,16 @@ def encode_clip_resumable(
     (SURVEY.md §5 checkpoint row). The resumed stream is byte-identical to
     an uninterrupted encode. `engine` must expose
     encode_gop(frames, first_index) like pipeline.gop_engine.GopEngine.
+    timer (utils.trace.StageTimer) splits encode vs write+checkpoint wall
+    time; log (utils.trace.EventLog) emits one 'gop' event per flush.
     """
+    import contextlib
+
     from . import checkpoint as ckpt
     from .bitstream_writer import open_stream_for_resume
+
+    def stage(name):
+        return timer.stage(name) if timer else contextlib.nullcontext()
 
     state = ckpt.load(checkpoint_path, cfg)
     start_frame = state.next_frame if state else 0
@@ -130,27 +137,29 @@ def encode_clip_resumable(
 
         def flush(gop, idx):
             t0 = time.perf_counter()
-            packets, stats = engine.encode_gop(gop, idx)
-            for p in packets:
-                f.write(p.to_bytes())
-            f.flush()
-            for s in stats:
-                summary.add(s)
+            with stage("encode_gop"):
+                packets, stats = engine.encode_gop(gop, idx)
+            with stage("write+checkpoint"):
+                for p in packets:
+                    f.write(p.to_bytes())
+                f.flush()
+                for s in stats:
+                    summary.add(s)
+                ckpt.save(
+                    checkpoint_path,
+                    ckpt.EncodeState(
+                        config_hash=cfg.config_hash(),
+                        next_frame=idx + len(gop),
+                        byte_offset=f.tell(),
+                        frames_done=summary.frames,
+                        total_bits=summary.total_bits,
+                        total_ms=summary.total_ms,
+                        sum_psnr_y=summary.sum_psnr_y,
+                    ),
+                )
             if log:
                 log.emit("gop", first=idx, frames=len(gop),
                          ms=round((time.perf_counter() - t0) * 1e3, 1))
-            ckpt.save(
-                checkpoint_path,
-                ckpt.EncodeState(
-                    config_hash=cfg.config_hash(),
-                    next_frame=idx + len(gop),
-                    byte_offset=f.tell(),
-                    frames_done=summary.frames,
-                    total_bits=summary.total_bits,
-                    total_ms=summary.total_ms,
-                    sum_psnr_y=summary.sum_psnr_y,
-                ),
-            )
 
         for planes in it:
             if count >= n_frames:
