@@ -299,3 +299,31 @@ def test_resume_validates_byte_offset(tmp_path, rng):
     mismatch = checkpoint.EncodeState(other.config_hash(), 2, size, 2, 0, 0.0, 0.0)
     with pytest.raises(ValueError, match="different config"):
         open_stream_for_resume(path, other, 4, mismatch)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 fake devices")
+def test_ring_pipeline_v4_equals_single(rng):
+    """Format v4 (half-pel motion) on the temporal ring (r4 verdict item 9:
+    ring was v4-safe by construction — it routes through
+    encode_frame_traced — but no test pinned it). Byte-equality vs the
+    single-device GOP engine, rc=vbv riding the ring state too."""
+    from video_encoder_tpu.parallel.ring import RingEncoder
+    from video_encoder_tpu.pipeline.gop_engine import GopEngine
+
+    d, t, h, w = 2, 3, 32, 48
+    cfg = EncoderConfig(width=w, height=h, gop_n=t, base_qp=28, search="full",
+                        format_version=4, chroma_qp_offset=2, rc="vbv",
+                        target_kbps=400, fps_num=30, fps_den=1)
+    streams = []
+    for s in range(d):
+        clip = make_clip(rng, w, h, t)
+        streams.append([golden.Frame.from_planes(*f) for f in clip])
+
+    eng = GopEngine(cfg)
+    ref = [eng.encode_gop(streams[s], s * t)[0] for s in range(d)]
+    mesh = Mesh(np.array(jax.devices()[:d]), ("ring",))
+    got = RingEncoder(cfg, mesh).encode_streams(
+        streams, [s * t for s in range(d)])
+    for s in range(d):
+        assert all(a.to_bytes() == b.to_bytes()
+                   for a, b in zip(ref[s], got[s])), f"stream {s} mismatch"

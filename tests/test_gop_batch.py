@@ -48,7 +48,7 @@ def test_batch_matches_sequential_rc(rng, rc, kbps):
     _assert_batch_equals_sequential(cfg, _gops(rng))
 
 
-@pytest.mark.parametrize("fmt,qmat", [(1, False), (2, False), (3, False), (3, True)])
+@pytest.mark.parametrize("fmt,qmat", [(1, False), (2, False), (3, False), (3, True), (4, False)])
 def test_batch_matches_sequential_formats(rng, fmt, qmat):
     cfg = EncoderConfig(
         width=W, height=H, gop_n=T, base_qp=26, search="full",
@@ -101,7 +101,7 @@ def test_emit_chunks_matches_frame(rng):
     byte-identical to the device-assembled frame path on every format/rc
     it runs under; GopEngine.emit selects it."""
     gops = _gops(rng)
-    for fmt in (1, 2):
+    for fmt in (1, 2, 4):
         cfg = EncoderConfig(width=W, height=H, gop_n=T, base_qp=26,
                             search="full", format_version=fmt,
                             rc="mb" if fmt == 2 else "none",

@@ -444,3 +444,34 @@ def test_merge_budget_overflow_isolated_on_chip(rng):
     pk, _ = eng.encode_gop(frames, 0)
     pk_g, _ = GoldenGopAdapter(cfg).encode_gop(frames, 0)
     assert [p.to_bytes() for p in pk] == [p.to_bytes() for p in pk_g]
+
+
+def test_gop_batch_v4_chunks_on_chip(rng):
+    """--gop-batch x --format 4 x emit=chunks compiled on the real chip
+    (r4 verdict item 9's last open matrix cell): the lockstep two-GOP
+    program with half-pel motion and span-string emission is byte-equal
+    to per-GOP single encodes."""
+    from video_encoder_tpu.codec.config import EncoderConfig
+    from video_encoder_tpu.codec.golden import Frame
+    from video_encoder_tpu.pipeline.gop_engine import GopEngine
+
+    w, h, t = 96, 64, 3
+    cfg = EncoderConfig(width=w, height=h, gop_n=t, base_qp=27,
+                        search="full", format_version=4, chroma_qp_offset=2)
+
+    def clip():
+        base = rng.integers(0, 256, (h + 8, w + 8)).astype(np.int32)
+        return [Frame.from_planes(
+            np.clip(base[k:k + h, k:k + w]
+                    + rng.integers(-2, 3, (h, w)), 0, 255).astype(np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+            rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
+            for k in range(t)]
+
+    gops = [clip(), clip()]
+    eng = GopEngine(cfg)           # emit defaults to "chunks"
+    assert eng.emit == "chunks"
+    ref = [eng.encode_gop(g, i * t)[0] for i, g in enumerate(gops)]
+    got = eng.encode_gops(gops, [0, t])
+    for (gp, _), rp in zip(got, ref):
+        assert [p.to_bytes() for p in gp] == [p.to_bytes() for p in rp]
