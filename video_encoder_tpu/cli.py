@@ -488,7 +488,9 @@ def cmd_decode(a) -> int:
             if not native.available():
                 print("warning: native lib unavailable, using golden", file=sys.stderr)
                 a.engine = "golden"
-        if a.engine == "native":
+        if a.engine == "native" and a.workers != 1:
+            info, frames = decoder.decode_clip_parallel(fi, a.workers)
+        elif a.engine == "native":
             info, frames = decoder.decode_clip_native(fi)
         elif a.engine == "gop":
             info, frames = decoder.decode_clip_gop(fi)
@@ -658,6 +660,10 @@ def main(argv=None) -> int:
     d.add_argument("-i", "--input", required=True)
     d.add_argument("-o", "--output", required=True)
     d.add_argument("--engine", choices=["native", "gop", "device", "golden"], default="native")
+    d.add_argument("--workers", type=int, default=0,
+                   help="GOP-parallel native decode threads (0 = one per "
+                        "core, 1 = serial); GOPs are independent "
+                        "sub-streams, frames mux in order")
     d.set_defaults(fn=cmd_decode)
 
     inf = sub.add_parser("info", help="dump stream header")
