@@ -405,3 +405,35 @@ def test_tile2d_rejects_non_v1(rng):
                 row_words=entropy.max_words(w // 2 // 16),
                 target_bits=0, fmt=fmt,
             )
+
+
+def test_tile_chunks_emit_equals_frame(rng):
+    """emit='chunks' on the tile path (r5: budgeted span-string pack per
+    shard): each shard's bit_concat of its span strings equals the
+    frame-emit shard payload, for v1 and v2."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 fake devices")
+    d, t, h, w = 2, 3, 64, 48
+    mesh = Mesh(np.array(jax.devices()[:d]), ("tile",))
+    frames = _smooth_frames(rng, h, w, t)
+    y = jnp.asarray(np.stack([f.y for f in frames]).astype(np.uint8))
+    cb = jnp.asarray(np.stack([f.cb for f in frames]).astype(np.uint8))
+    cr = jnp.asarray(np.stack([f.cr for f in frames]).astype(np.uint8))
+    n_mbs = (h // 16) * (w // 16) // d
+    for fmt in (1, 2):
+        kw = dict(mesh=mesh, rc="none", block_words=24,
+                  cap_words=entropy.capacity_words(n_mbs, 1024),
+                  target_bits=0, fmt=fmt, cqpo=2 if fmt >= 2 else 0)
+        of = tiles.encode_gop_tiled(y, cb, cr, 28, **kw)
+        oc = tiles.encode_gop_tiled(y, cb, cr, 28, emit="chunks", **kw)
+        wf = np.asarray(of["words"])   # [S, T, cap]
+        bf = np.asarray(of["bits"])    # [S, T]
+        wc = np.asarray(oc["words"])   # [S, T, C, cw]
+        bc = np.asarray(oc["bits"])    # [S, T, C]
+        for s in range(d):
+            for ti in range(t):
+                pf, nf = tiles.bit_concat([(wf[s, ti], int(bf[s, ti]))])
+                pc, nc = tiles.bit_concat(
+                    [(wc[s, ti, c], int(bc[s, ti, c]))
+                     for c in range(bc.shape[2]) if bc[s, ti, c]])
+                assert nf == nc and pf == pc, (fmt, s, ti)

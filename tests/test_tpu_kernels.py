@@ -475,3 +475,79 @@ def test_gop_batch_v4_chunks_on_chip(rng):
     got = eng.encode_gops(gops, [0, t])
     for (gp, _), rp in zip(got, ref):
         assert [p.to_bytes() for p in gp] == [p.to_bytes() for p in rp]
+
+
+def test_mc_pre_haloed_matches_jnp(rng):
+    """Tile-path MC on a pre-haloed reference (r5: the jnp per-block
+    gather was 14 of the 18.7 ms/frame tile shard) vs the jnp twin, luma
+    and chroma, boundary and interior shards, 1-D (cols edge-replicate)
+    geometry."""
+    from video_encoder_tpu.ops.pallas import sad as psad
+    from video_encoder_tpu.ops.transform import unblockify
+
+    h_full, w = 256, 208
+    full = rng.integers(0, 256, (h_full, w)).astype(np.int32)
+    hs = 128
+    for bs, r, kern in ((16, 16, psad.mc_fetch_plane_pre_haloed),
+                        (8, 8, psad.mc_fetch_plane_chroma_pre_haloed)):
+        hv, wv = hs // (16 // bs) if bs == 8 else hs, w // (16 // bs) if bs == 8 else w
+        fullv = full[:h_full // (16 // bs) if bs == 8 else h_full, :wv]
+        for start in (0, hv):
+            nby, nbx = hv // bs, wv // bs
+            dy = jnp.asarray(rng.integers(-r, r + 1, (nby, nbx)), jnp.int32)
+            dx = jnp.asarray(rng.integers(-r, r + 1, (nby, nbx)), jnp.int32)
+            top = (np.repeat(fullv[:1], r, 0) if start == 0
+                   else fullv[start - r:start])
+            bot = (np.repeat(fullv[-1:], r, 0) if start + hv >= fullv.shape[0]
+                   else fullv[start + hv:start + hv + r])
+            ref_ext = jnp.asarray(
+                np.concatenate([top, fullv[start:start + hv], bot], 0))
+            got = jax.jit(kern)(ref_ext, dy, dx)
+            from video_encoder_tpu.ops import motion
+            refpad = jnp.pad(ref_ext, ((0, 0), (r, r)), mode="edge")
+            want = unblockify(motion.mc_fetch(refpad, dy, dx, bs, r))
+            assert np.array_equal(np.asarray(got), np.asarray(want)), (bs, start)
+
+
+def test_tile_encode_on_chip_equals_gop_engine(rng):
+    """Full tile-shard ENCODE compiled on the chip (1-device 'tile' mesh:
+    halo loopback == unsharded pad semantics) byte-equal to the GOP
+    engine — pins the whole r5 tile stack (Pallas pre-haloed ME + MC,
+    chunks emit, prediction-only cond) at stream level."""
+    from jax.sharding import Mesh
+
+    from video_encoder_tpu.codec import entropy
+    from video_encoder_tpu.codec.config import EncoderConfig
+    from video_encoder_tpu.codec.golden import Frame
+    from video_encoder_tpu.parallel import tiles
+    from video_encoder_tpu.pipeline.gop_engine import (GopEngine,
+                                                       _block_words_for_qp)
+
+    w, h, t, qp = 96, 64, 3, 27
+    base = rng.integers(0, 256, (h + 8, w + 8)).astype(np.int32)
+    frames = [Frame.from_planes(
+        np.clip(base[k:k + h, k:k + w] + rng.integers(-2, 3, (h, w)),
+                0, 255).astype(np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+        rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
+        for k in range(t)]
+    cfg = EncoderConfig(width=w, height=h, gop_n=t, base_qp=qp, search="full")
+    ref_pk, _ = GopEngine(cfg).encode_gop(frames, 0)
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("tile",))
+    y = jnp.asarray(np.stack([f.y for f in frames]))
+    cb = jnp.asarray(np.stack([f.cb for f in frames]))
+    cr = jnp.asarray(np.stack([f.cr for f in frames]))
+    n_mbs = (h // 16) * (w // 16)
+    outs = tiles.encode_gop_tiled(
+        y, cb, cr, qp, mesh=mesh, rc="none",
+        block_words=_block_words_for_qp(qp),
+        cap_words=entropy.capacity_words(n_mbs, 1024), target_bits=0,
+        emit="chunks")
+    wc = np.asarray(outs["words"])  # [1, T, C, cw]
+    bc = np.asarray(outs["bits"])   # [1, T, C]
+    for ti, p in enumerate(ref_pk):
+        payload, nbits = tiles.bit_concat(
+            [(wc[0, ti, c], int(bc[0, ti, c]))
+             for c in range(bc.shape[2]) if bc[0, ti, c]])
+        assert nbits == p.payload_bits and payload == p.payload, ti

@@ -1029,8 +1029,56 @@ def make_mc_kernels(bs: int, radius: int, tm: int, tn: int):
         ref, dy, dx = (bc(x, b) for x, b in zip((ref, dy, dx), in_batched))
         return tile_call_g(mc_kernel_g, ref, ref, dy, dx, True), True
 
-    return sad_at, mc_fetch
+    def mc_fetch_pre_haloed(ref_ext, dy, dx):
+        """mc_fetch where ref_ext already carries the vertical ±radius halo
+        rows ([h+2r, w]; or [h+2r, w+2r] with the horizontal halo too) —
+        the tile-sharded path's reference after exchange_halo. The halo
+        rows REPLACE the pad_ref edge replication (full_search_pre_haloed's
+        twin for MC: the jnp per-block gather this displaces was 14 of the
+        18.7 ms/frame 1080p-class tile shard, tools/tp_shard_perf).
+        Bit-exact with motion.mc_fetch on the same extended plane."""
+        nby, nbx = dy.shape
+        h, w = nby * bs, nbx * bs
+        gy = -(-nby // tm) * tm
+        gx = -(-nbx // tn) * tn
+        hp, wp = gy * bs, gx * bs
+        if ref_ext.shape[1] == w:  # 1-D row shard: columns edge-replicate
+            rc_ = jnp.pad(
+                ref_ext,
+                ((0, 0), (radius, (wp - w) + wwa - tw - radius)),
+                mode="edge",
+            )
+        else:  # horizontal halo present: [-r, w+r) columns are real
+            rc_ = jnp.pad(
+                ref_ext,
+                ((0, 0), (0, (wp - w) + wwa - tw - 2 * radius)),
+                mode="edge",
+            )
+        # ref_ext row 0 IS frame row -radius (== refpad's top pad row 0)
+        refpad = jnp.pad(
+            rc_, ((0, hp + wh - h - 2 * radius), (0, 0)), mode="edge"
+        )
+        dy_p = to_flat(jnp.pad(dy, ((0, gy - nby), (0, gx - nbx))), gy, gx)
+        dx_p = to_flat(jnp.pad(dx, ((0, gy - nby), (0, gx - nbx))), gy, gx)
+        out = pl.pallas_call(
+            mc_kernel,
+            grid=(gy // tm, gx // tn),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), flat_spec(),
+                      flat_spec()],
+            out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((wh, wwa), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(refpad, dy_p, dx_p)
+        return out[:h, :w]
+
+    return sad_at, mc_fetch, mc_fetch_pre_haloed
 
 
-sad_at_mv, mc_fetch_plane = make_mc_kernels(MB, R, 4, 8)
-sad_at_mv_chroma, mc_fetch_plane_chroma = make_mc_kernels(spec.BLK, spec.BLK, 4, 16)
+sad_at_mv, mc_fetch_plane, mc_fetch_plane_pre_haloed = make_mc_kernels(
+    MB, R, 4, 8)
+(sad_at_mv_chroma, mc_fetch_plane_chroma,
+ mc_fetch_plane_chroma_pre_haloed) = make_mc_kernels(spec.BLK, spec.BLK, 4, 16)

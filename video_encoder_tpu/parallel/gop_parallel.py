@@ -122,8 +122,13 @@ class ShardedGopEncoder:
                 from .tiles import encode_gop_batch_2d
 
                 # tile path uses the haloed full search (cfg.search other
-                # than "full" is rejected by the caller contract)
-                return encode_gop_batch_2d(y, cb, cr, base_qp, **kw), None
+                # than "full" is rejected by the caller contract) and the
+                # budgeted span-string pack (r5: the device-assembled
+                # tree_concat made TP shards ~4x the DP per-shard rate,
+                # tools/tp_shard_perf_results.json); the host glue below
+                # bit_concats spans across the tile axis in order
+                return encode_gop_batch_2d(
+                    y, cb, cr, base_qp, emit="chunks", **kw), None
             return encode_gop_batch_sharded(
                 y, cb, cr, base_qp, search=cfg.search, **kw
             )
@@ -135,15 +140,17 @@ class ShardedGopEncoder:
         if ntile > 1:
             from .tiles import bit_concat
 
-            bits = np.asarray(outs["bits"])   # [G, S, T]
+            bits = np.asarray(outs["bits"])   # [G, S, T, C] span bits
             qps = np.asarray(outs["qp"])      # [G, S, T]
-            words = np.asarray(outs["words"])  # [G, S, T, cap]
+            words = np.asarray(outs["words"])  # [G, S, T, C, cw]
             packets = []
             for g in range(len(gops)):
                 for t in range(len(gops[g])):
                     payload, nbits = bit_concat(
-                        [(words[g, s, t], int(bits[g, s, t]))
-                         for s in range(ntile)]
+                        [(words[g, s, t, c], int(bits[g, s, t, c]))
+                         for s in range(ntile)
+                         for c in range(bits.shape[3])
+                         if bits[g, s, t, c]]
                     )
                     packets.append(
                         FramePacket(

@@ -122,6 +122,16 @@ def _full_search_haloed(cur, ref_ext):
 
 
 def _mc_haloed(ref_ext, dy, dx, bs, r):
+    """Per-MB MC on a pre-haloed reference. On TPU: the one-hot-matmul
+    Pallas MC kernel (sad.mc_fetch_plane*_pre_haloed) — the jnp per-block
+    gather below (kept as the CPU twin) was 14 of the 18.7 ms/frame
+    1080p-class tile shard (tools/tp_shard_perf_results.json, r5)."""
+    if dispatch.use_pallas():
+        from ..ops.pallas import sad as psad
+
+        if bs == spec.MB:
+            return psad.mc_fetch_plane_pre_haloed(ref_ext, dy, dx)
+        return psad.mc_fetch_plane_chroma_pre_haloed(ref_ext, dy, dx)
     if ref_ext.shape[1] == dy.shape[1] * bs:
         refpad = jnp.pad(ref_ext, ((0, 0), (r, r)), mode="edge")
     else:
@@ -262,7 +272,7 @@ def encode_frame_tile_traced(
     *, is_p, rc: str, block_words: int, cap_words: int,
     axis_name: str = "tile", ref_mode: str = "halo",
     fmt: int = 1, cqpo: int = 0, qbias: int = 8, qmat: bool = False,
-    islice: int = 0,
+    islice: int = 0, emit: str = "frame",
 ):
     """Per-shard frame encode; cur_/ref_ planes are local row shards.
 
@@ -306,8 +316,21 @@ def encode_frame_tile_traced(
             is_p, p_branch, i_branch)
 
     # v2 prediction is left-only within MB rows (SPEC.md §12), so the
-    # row-sharded pack needs no cross-shard state
-    pack = entropy.pack_frame_planes_v2 if fmt >= 2 else entropy.pack_frame_planes
+    # row-sharded pack needs no cross-shard state. emit="chunks" (r5)
+    # routes the shard's pack through the budgeted span-string path
+    # (pack_frame_chunks + super_merge_mb) instead of the device-assembled
+    # tree_concat — the host glue already bit_concats per-shard strings,
+    # so span strings just extend that list (measured 4.0x -> near-DP
+    # per-shard rate, tools/tp_shard_perf_results.json).
+    if emit == "chunks":
+        packc = (entropy.pack_frame_chunks_v2 if fmt >= 2
+                 else entropy.pack_frame_chunks)
+
+        def pack(ly, lcb, lcr, qpd, p, inter, dyv, dxv, bw, _cap):
+            return packc(ly, lcb, lcr, qpd, p, inter, dyv, dxv, bw)
+    else:
+        pack = (entropy.pack_frame_planes_v2 if fmt >= 2
+                else entropy.pack_frame_planes)
 
     def code_pred(qps):
         return _code_frame(
@@ -369,7 +392,9 @@ def encode_frame_tile_traced(
         lz_y, lz_cb, lz_cr, qp_mb - base_qp, jnp.asarray(is_p), is_inter,
         dy, dx, block_words, cap_words,
     )
-    frame_bits = jax.lax.psum(bits, axis_name)  # RC/stats aggregate over tiles
+    # chunks: bits is the per-span vector; the frame/RC total sums it first
+    shard_bits = bits.sum() if emit == "chunks" else bits
+    frame_bits = jax.lax.psum(shard_bits, axis_name)  # RC/stats over tiles
     return dict(
         words=words, bits=bits, frame_bits=frame_bits, ovf=ovf_p,
         n_inter=is_inter.sum().astype(jnp.int32),
@@ -381,7 +406,7 @@ def tile_gop_scan(
     y, cb, cr, base_qp,
     *, rc, block_words, cap_words, target_bits, ref_mode="halo",
     fmt: int = 1, cqpo: int = 0, qbias: int = 8, vbv_bits: int = 0,
-    qmat: bool = False, islice: int = 0,
+    qmat: bool = False, islice: int = 0, emit: str = "frame",
 ):
     """Per-shard GOP scan over one GOP's local row shards [T, H/ntile, W].
 
@@ -395,7 +420,8 @@ def tile_gop_scan(
         cur_cb = xs["cb"].astype(jnp.int32)
         cur_cr = xs["cr"].astype(jnp.int32)
         kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
-                  fmt=fmt, cqpo=cqpo, qbias=qbias, qmat=qmat, islice=islice)
+                  fmt=fmt, cqpo=cqpo, qbias=qbias, qmat=qmat, islice=islice,
+                  emit=emit)
         # traced is_p: the I/P cond inside wraps only the prediction, so
         # the pack Pallas kernels compile once OUTSIDE any cond branch
         # (pod-readiness, r4 verdict weak #3)
@@ -411,9 +437,9 @@ def tile_gop_scan(
             rc, target_bits, vbv_bits, qp, fullness, out["frame_bits"]
         )
         carry = (out["rec_y"], out["rec_cb"], out["rec_cr"], qp, fullness)
-        emit = dict(words=out["words"], bits=out["bits"], ovf=out["ovf"],
-                    n_inter=out["n_inter"], qp=qp_used)
-        return carry, emit
+        ys = dict(words=out["words"], bits=out["bits"], ovf=out["ovf"],
+                  n_inter=out["n_inter"], qp=qp_used)
+        return carry, ys
 
     t_frames = y.shape[0]
     init = (
@@ -432,13 +458,13 @@ def tile_gop_scan(
     jax.jit,
     static_argnames=("mesh", "rc", "block_words", "cap_words",
                      "target_bits", "ref_mode", "fmt", "cqpo", "qbias",
-                     "vbv_bits", "qmat", "islice"),
+                     "vbv_bits", "qmat", "islice", "emit"),
 )
 def encode_gop_tiled(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, rc, block_words, cap_words, target_bits, ref_mode="halo",
     fmt: int = 1, cqpo: int = 0, qbias: int = 8, vbv_bits: int = 0,
-    qmat: bool = False, islice: int = 0,
+    qmat: bool = False, islice: int = 0, emit: str = "frame",
 ):
     """GOP encode with frames row-sharded over the 'tile' mesh axis.
 
@@ -460,7 +486,7 @@ def encode_gop_tiled(
     kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
               target_bits=target_bits, ref_mode=ref_mode, fmt=fmt,
               cqpo=cqpo, qbias=qbias, vbv_bits=vbv_bits, qmat=qmat,
-              islice=islice)
+              islice=islice, emit=emit)
 
     def per_shard(y, cb, cr):
         outs = tile_gop_scan(y, cb, cr, base_qp, **kw)
@@ -484,13 +510,13 @@ def encode_gop_tiled(
     jax.jit,
     static_argnames=("mesh", "rc", "block_words", "cap_words",
                      "target_bits", "ref_mode", "fmt", "cqpo", "qbias",
-                     "vbv_bits", "qmat", "islice"),
+                     "vbv_bits", "qmat", "islice", "emit"),
 )
 def encode_gop_batch_2d(
     y_u8, cb_u8, cr_u8, base_qp,
     *, mesh, rc, block_words, cap_words, target_bits, ref_mode="halo",
     fmt: int = 1, cqpo: int = 0, qbias: int = 8, vbv_bits: int = 0,
-    qmat: bool = False, islice: int = 0,
+    qmat: bool = False, islice: int = 0, emit: str = "frame",
 ):
     """Fused 2-D program (SURVEY.md §3.4; VERDICT r1 missing #2): ONE
     shard_map shards the GOP batch over 'gop' AND every frame's MB rows
@@ -514,7 +540,7 @@ def encode_gop_batch_2d(
     kw = dict(rc=rc, block_words=block_words, cap_words=cap_words,
               target_bits=target_bits, ref_mode=ref_mode, fmt=fmt,
               cqpo=cqpo, qbias=qbias, vbv_bits=vbv_bits, qmat=qmat,
-              islice=islice)
+              islice=islice, emit=emit)
 
     def per_device(y, cb, cr):
         def one(args):
