@@ -43,7 +43,8 @@ def device_fps(w, h, search, t_frames, reps):
     n_mbs = (hp // 16) * (w // 16)
     kw = dict(search=search, rc="none",
               block_words=_block_words_for_qp(30),  # the production budget
-              cap_words=entropy.capacity_words(n_mbs, 1024), target_bits=0)
+              cap_words=entropy.capacity_words(n_mbs, 1024), target_bits=0,
+              emit="chunks")  # r5: GopEngine's production emission
     outs = encode_gop_jit(yd, cbd, crd, 30, **kw)
     np.asarray(outs["bits"])  # host fetch: block_until_ready lies on axon
     ovf = bool(np.asarray(outs["ovf"]).any())
