@@ -64,11 +64,11 @@ def rc_mb_bytes(h: int, w: int, sc: int) -> int:
 
 def main():
     res_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "check_fused_pack_results.json")
+                            "merge_budget_results.json")
     ms_1080 = 10.5
     try:
         with open(res_path) as f:
-            ms_1080 = json.load(f)["gop_1080p"]["ms_per_frame"]
+            ms_1080 = json.load(f)["1080p_gop30_qp30"]["ms"]
     except (OSError, KeyError):
         pass
     # 4K compute scales ~4x the 1080p per-frame time on one chip (matrix

@@ -51,11 +51,14 @@ _BITLEN_MAX = 15  # all kernel symbol values are < 2^15 (see docstring)
 
 
 def _bitlen(x):
-    """floor(log2(x)) + 1 for 1 <= x < 2**_BITLEN_MAX, 0 for x == 0."""
-    acc = jnp.zeros_like(x)
-    for k in range(_BITLEN_MAX):
-        acc = acc + (x >= (1 << k)).astype(jnp.int32)
-    return acc
+    """floor(log2(x)) + 1 for 1 <= x < 2**_BITLEN_MAX, 0 for x == 0.
+
+    Float-exponent form (r5): int->f32 is exact below 2^24, so the IEEE
+    exponent field IS floor(log2)+1 after bias removal — 3 VPU ops vs the
+    15 compare-adds of the r4 version (equal on the whole domain,
+    tests/test_entropy_pack_kernel.py runs every symbol path)."""
+    e = (pltpu.bitcast(x.astype(jnp.float32), jnp.int32) >> 23) - 126
+    return jnp.where(x > 0, e, 0)
 
 
 def _ue(v):
