@@ -65,12 +65,14 @@ def test_dispatch_diamond_odd_grids(rng, h, w):
     assert all(bool(jnp.array_equal(a, b)) for a, b in zip(g, p))
 
 
-@pytest.mark.parametrize("h,w,qbias", [(368, 640, 8), (144, 208, 8),
-                                       (184, 320, 6), (1088, 1920, 8)])
-def test_code_plane_kernel(rng, h, w, qbias):
+@pytest.mark.parametrize("h,w,qbias,qmat", [
+    (368, 640, 8, False), (144, 208, 8, False), (184, 320, 6, False),
+    (1088, 1920, 8, False), (368, 640, 8, True)])
+def test_code_plane_kernel(rng, h, w, qbias, qmat):
     """Fused Pallas transform+quant+recon vs the staged jnp path — exact,
-    including non-tile-multiple heights (chroma shapes) and non-default
-    quant bias."""
+    including non-tile-multiple heights (chroma shapes), non-default
+    quant bias, and the v3 quant matrix (whose per-position step is now
+    derived in-kernel from the block-level q, r5)."""
     from video_encoder_tpu.ops import dispatch
 
     cur = jnp.asarray(rng.integers(0, 256, (h, w)), jnp.int32)
@@ -83,9 +85,9 @@ def test_code_plane_kernel(rng, h, w, qbias):
 
     dispatch.force("jnp")
     try:
-        lz_w, rec_w = dispatch.code_plane(cur, pred, q_blk, qbias)
+        lz_w, rec_w = dispatch.code_plane(cur, pred, q_blk, qbias, qmat)
         dispatch.force("pallas")
-        lz_g, rec_g = dispatch.code_plane(cur, pred, q_blk, qbias)
+        lz_g, rec_g = dispatch.code_plane(cur, pred, q_blk, qbias, qmat)
     finally:
         dispatch.force(None)
     assert jnp.array_equal(lz_w, lz_g)

@@ -94,9 +94,9 @@ def _exact_div(n, d):
 
 
 def _make_code_plane_kernel(th: int, tw: int, qbias: int,
-                            batched: bool = False):
-    def kernel(cur_ref, pred_ref, q_ref, bias_ref, cl_ref, cr_ref, clt_ref,
-               crt_ref, lv_ref, rec_ref):
+                            batched: bool = False, qmat: bool = False):
+    def kernel(cur_ref, pred_ref, q_ref, bias_ref, qm_ref, cl_ref, cr_ref,
+               clt_ref, crt_ref, lv_ref, rec_ref):
         if batched:  # GOP-batched blocks carry a leading (1,) axis
             pred = pred_ref[0]
             x = cur_ref[0] - pred
@@ -107,10 +107,48 @@ def _make_code_plane_kernel(th: int, tw: int, qbias: int,
         t1 = _rshift_round(_mul8(x, cl_ref, 0))      # B @ x
         coef = _rshift_round(_mul8(t1, cr_ref, 1))   # .. @ B^T
 
-        # per-8x8-block quant step at pixel resolution (expanded by the XLA
-        # wrapper: pltpu.repeat is np.tile, not np.repeat, so the interleaved
-        # expansion cannot be done here cheaply)
-        q = q_ref[0] if batched else q_ref[:]
+        # per-8x8-block quant step expanded to pixel resolution IN VMEM by
+        # two one-hot f32 matmuls (q <= ~131k < 2^24: exact). The r4 XLA
+        # wrapper built the [H, W] q_px plane on HBM — 50 MB/frame of
+        # round-trip at 4K (pltpu.repeat is np.tile, so the interleave
+        # cannot be a kernel-side repeat; the matmul expansion can). The
+        # q plane arrives as an 8-sublane-row block spanning the FULL lane
+        # width (lane-dim blocks below 128 are unliftable; dynamic lane
+        # slices must be 128-aligned): the one-hot selectors carry the
+        # sub-block row offset (tiles of th=32 share a q block pairwise)
+        # and the tile's global column window, both from program_id —
+        # traced iota compares, no dynamic ref slicing.
+        t8 = th // 8
+        if batched:
+            i, j = pl.program_id(1), pl.program_id(2)
+            qblk = q_ref[0]                     # [8, W8] f32-safe int32
+        else:
+            i, j = pl.program_id(0), pl.program_id(1)
+            qblk = q_ref[:]
+        w8 = qblk.shape[-1]
+        roff = (i * t8) % 8 if t8 < 8 else 0
+        rsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (th, 8), 0) // 8 + roff
+            == jax.lax.broadcasted_iota(jnp.int32, (th, 8), 1)
+        ).astype(jnp.float32)
+        csel = (
+            jax.lax.broadcasted_iota(jnp.int32, (w8, tw), 0)
+            == j * (tw // 8)
+            + jax.lax.broadcasted_iota(jnp.int32, (w8, tw), 1) // 8
+        ).astype(jnp.float32)
+        # Precision.HIGHEST: the MXU's default f32 path truncates operands
+        # toward bf16 passes; q reaches 2^17 and must survive exactly
+        q = jax.lax.dot_general(
+            jax.lax.dot_general(rsel, qblk.astype(jnp.float32),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST),
+            csel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        if qmat:  # v3 per-position matrix (SPEC.md §13.2), folded in VMEM
+            q = jnp.maximum(1, (q * qm_ref[:] + 8) >> 4)
 
         n = 16 * jnp.abs(coef) + bias_ref[:] * q
         mag = _exact_div(n, 16 * q)
@@ -131,12 +169,16 @@ def _make_code_plane_kernel(th: int, tw: int, qbias: int,
     return kernel
 
 
+def _qmat_tile(th: int, tw: int) -> np.ndarray:
+    return np.tile(np.asarray(spec.QMAT, np.int32), (th // 8, tw // 8))
+
+
 @functools.lru_cache(maxsize=16)
-def _code_plane_call(h: int, w: int, qbias: int):
+def _code_plane_call(h: int, w: int, qbias: int, qmat: bool = False):
     th = 64 if h % 64 == 0 else 32
     tw = 256 if w % 256 == 0 else 128
     gy, gx = h // th, w // tw
-    kernel = _make_code_plane_kernel(th, tw, qbias)
+    kernel = _make_code_plane_kernel(th, tw, qbias, qmat=qmat)
 
     # broadcast constant tables (numpy module consts -> HLO literals)
     cl = _coef_table(th, 0, False)
@@ -148,18 +190,21 @@ def _code_plane_call(h: int, w: int, qbias: int):
     bias16 = np.where(
         (ri[:, None] == 0) & (ci[None, :] == 0), 8, int(qbias)
     ).astype(np.int32)
+    qm = _qmat_tile(th, tw)
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
 
-    def call(cur, pred, q_px):
+    def call(cur, pred, q_blk):
         return pl.pallas_call(
             kernel,
             grid=(gy, gx),
             in_specs=[
                 pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
                 pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((th, tw), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, w // 8), lambda i, j: (i * (th // 8) // 8, 0),
+                             memory_space=pltpu.VMEM),
+                const_spec((th, tw)),
                 const_spec((th, tw)),
                 const_spec((th, 15)),
                 const_spec((15, tw)),
@@ -174,14 +219,16 @@ def _code_plane_call(h: int, w: int, qbias: int):
                 jax.ShapeDtypeStruct((h, w), jnp.int32),
                 jax.ShapeDtypeStruct((h, w), jnp.int32),
             ],
-        )(cur, pred, q_px, jnp.asarray(bias16), jnp.asarray(cl),
-          jnp.asarray(cr), jnp.asarray(clt), jnp.asarray(crt))
+        )(cur, pred, q_blk, jnp.asarray(bias16), jnp.asarray(qm),
+          jnp.asarray(cl), jnp.asarray(cr), jnp.asarray(clt),
+          jnp.asarray(crt))
 
     return call
 
 
 @functools.lru_cache(maxsize=16)
-def _code_plane_call_g(gn: int, h: int, w: int, qbias: int):
+def _code_plane_call_g(gn: int, h: int, w: int, qbias: int,
+                       qmat: bool = False):
     """GOP-batched twin of _code_plane_call: grid (G, gy, gx). Needed
     because vmap-of-pallas_call cannot batch this kernel's broadcast const
     operands cleanly on all backends; the batched-GOP scan routes here via
@@ -189,7 +236,7 @@ def _code_plane_call_g(gn: int, h: int, w: int, qbias: int):
     th = 64 if h % 64 == 0 else 32
     tw = 256 if w % 256 == 0 else 128
     gy, gx = h // th, w // tw
-    kernel = _make_code_plane_kernel(th, tw, qbias, batched=True)
+    kernel = _make_code_plane_kernel(th, tw, qbias, batched=True, qmat=qmat)
 
     cl = _coef_table(th, 0, False)
     cr = _coef_table(tw, 1, False)
@@ -200,6 +247,7 @@ def _code_plane_call_g(gn: int, h: int, w: int, qbias: int):
     bias16 = np.where(
         (ri[:, None] == 0) & (ci[None, :] == 0), 8, int(qbias)
     ).astype(np.int32)
+    qm = _qmat_tile(th, tw)
 
     def const_spec(shape):
         return pl.BlockSpec(shape, lambda g, i, j: (0, 0),
@@ -209,12 +257,16 @@ def _code_plane_call_g(gn: int, h: int, w: int, qbias: int):
         return pl.BlockSpec((1, th, tw), lambda g, i, j: (g, i, j),
                             memory_space=pltpu.VMEM)
 
-    def call(cur, pred, q_px):
+    def call(cur, pred, q_blk):
         return pl.pallas_call(
             kernel,
             grid=(gn, gy, gx),
             in_specs=[
-                bspec(), bspec(), bspec(),
+                bspec(), bspec(),
+                pl.BlockSpec((1, 8, w // 8),
+                             lambda g, i, j: (g, i * (th // 8) // 8, 0),
+                             memory_space=pltpu.VMEM),
+                const_spec((th, tw)),
                 const_spec((th, tw)),
                 const_spec((th, 15)),
                 const_spec((15, tw)),
@@ -226,31 +278,32 @@ def _code_plane_call_g(gn: int, h: int, w: int, qbias: int):
                 jax.ShapeDtypeStruct((gn, h, w), jnp.int32),
                 jax.ShapeDtypeStruct((gn, h, w), jnp.int32),
             ],
-        )(cur, pred, q_px, jnp.asarray(bias16), jnp.asarray(cl),
-          jnp.asarray(cr), jnp.asarray(clt), jnp.asarray(crt))
+        )(cur, pred, q_blk, jnp.asarray(bias16), jnp.asarray(qm),
+          jnp.asarray(cl), jnp.asarray(cr), jnp.asarray(clt),
+          jnp.asarray(crt))
 
     return call
 
 
 @functools.lru_cache(maxsize=8)
-def _cp_public(qbias: int):
-    """custom_vmap entry for the padded fused kernel at a given qbias:
+def _cp_public(qbias: int, qmat: bool):
+    """custom_vmap entry for the padded fused kernel at a given qbias/qmat:
     plain call -> single-plane kernel; vmapped (batched-GOP scan) -> the
     G-grid kernel."""
 
     @jax.custom_batching.custom_vmap
-    def fn(cur, pred, q_px):
+    def fn(cur, pred, q_blk):
         h, w = cur.shape
-        return _code_plane_call(h, w, qbias)(cur, pred, q_px)
+        return _code_plane_call(h, w, qbias, qmat)(cur, pred, q_blk)
 
     @fn.def_vmap
-    def _rule(axis_size, in_batched, cur, pred, q_px):
+    def _rule(axis_size, in_batched, cur, pred, q_blk):
         def bc(x, b):
             return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
-        cur, pred, q_px = (bc(x, b) for x, b in
-                           zip((cur, pred, q_px), in_batched))
+        cur, pred, q_blk = (bc(x, b) for x, b in
+                            zip((cur, pred, q_blk), in_batched))
         gn, h, w = cur.shape
-        lv, rec = _code_plane_call_g(gn, h, w, qbias)(cur, pred, q_px)
+        lv, rec = _code_plane_call_g(gn, h, w, qbias, qmat)(cur, pred, q_blk)
         return (lv, rec), (True, True)
 
     return fn
@@ -264,28 +317,26 @@ def code_plane(cur: jnp.ndarray, pred: jnp.ndarray, q_blk: jnp.ndarray,
     per-8x8-block quant steps. Returns (levels [H, W] int32 raster block
     layout, recon [H, W] int32) — bit-exact with the jnp path in
     pipeline/gop_engine._code_plane (levels there are zigzagged; callers
-    apply ops/transform.zigzag to blockified levels). qmat folds the v3
-    per-position quant matrix (SPEC.md §13.2) into the per-pixel step
-    table — the kernel itself is unchanged (it consumes q at pixel
-    resolution either way; value bounds stay inside the docstring proof:
-    q <= 2.75x the flat step <= ~4k, n <= 16*3925 + 8*4k < 2^20).
+    apply ops/transform.zigzag to blockified levels). The per-pixel quant
+    step is expanded from q_blk INSIDE the kernel (one-hot f32 matmuls;
+    exact — the r4 wrapper's HBM q_px plane was 50 MB/frame of round-trip
+    at 4K); qmat folds the v3 per-position matrix (SPEC.md §13.2) there
+    too. Value bounds stay inside the module docstring proof:
+    q <= 2.75x the flat step <= ~131k < 2^24, n <= 16*3925 + 8*4k < 2^20.
     """
     h, w = cur.shape
     th = 64 if h % 64 == 0 else 32
     tw = 256 if w % 256 == 0 else 128
     hp = -(-h // th) * th
     wp = -(-w // tw) * tw
-    q_px = jnp.repeat(jnp.repeat(q_blk, 8, 0), 8, 1)
-    if qmat:
-        m_px = np.tile(np.asarray(spec.QMAT, np.int32), (h // 8, w // 8))
-        q_px = jnp.maximum(1, (q_px * m_px + 8) >> 4)
     if (hp, wp) != (h, w):
         cur = jnp.pad(cur, ((0, hp - h), (0, wp - w)))
         pred = jnp.pad(pred, ((0, hp - h), (0, wp - w)))
-        q_px = jnp.pad(
-            q_px, ((0, hp - h), (0, wp - w)), constant_values=1
+        q_blk = jnp.pad(
+            q_blk, ((0, (hp - h) // 8), (0, (wp - w) // 8)),
+            constant_values=1,
         )
-    lv, rec = _cp_public(qbias)(cur, pred, q_px)
+    lv, rec = _cp_public(qbias, qmat)(cur, pred, q_blk)
     if (hp, wp) != (h, w):
         lv = lv[:h, :w]
         rec = rec[:h, :w]

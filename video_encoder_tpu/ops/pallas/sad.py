@@ -251,7 +251,9 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
             curc = jax.lax.dot_general(
                 r16, cur.astype(jnp.float32), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [TM, TW] f32, exact (<= 4080)
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [TM, TW] f32, exact (<= 4080; HIGHEST: the MXU's default
+            #    f32 path may truncate operands toward bf16)
             rightf = right.astype(jnp.float32)
 
             best_ref[:] = jnp.full((TM, TN), jnp.int32(2**31 - 1))
@@ -276,6 +278,7 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
                 scrows = jax.lax.dot_general(
                     sel, winc[:], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )  # [TM, WWA]
                 for di in range(ND):
                     bd[di] = jnp.abs(
@@ -285,6 +288,7 @@ def _make_full_search_kernel(TM: int, TN: int, emit_map: bool = False,
                     bd[:].reshape(ND * TM, TW), rightf,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 rowmin = jnp.min(lb.reshape(ND, TM, TN), axis=0)
                 bestsad = (best_ref[:] >> 11).astype(jnp.float32)
