@@ -43,8 +43,10 @@ def _sea_enabled() -> bool:
     whose exact column-sum lower bound already exceeds the best SAD found,
     so the packed-key minimum (and the spec's first-occurrence tie-break)
     is unchanged. Default OFF after measurement (tools/exp_sea_results.json,
-    r5): on clean panning refs it prunes 60-70% of rows (1.68x standalone at
-    4K), but the ENGINE searches against the previous RECON, whose qp~30
+    r5): on clean panning refs it prunes 60-70% of rows (1.2x standalone at
+    4K once the bound matmuls run at Precision.HIGHEST — a rounded-up bound
+    could over-prune, so exactness costs the extra passes), but the ENGINE
+    searches against the previous RECON, whose qp~30
     quantization noise puts a ~256*E|err| floor under the best SAD while the
     column-sum bound cancels that noise — measured zero pruning at ref noise
     ±8, so in-engine SEA costs its ~16% bound overhead for nothing. The
