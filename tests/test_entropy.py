@@ -128,3 +128,40 @@ def test_pack_frame_planes_matches_blocked(rng):
         assert jax.numpy.array_equal(w1, w2)
         assert jax.numpy.array_equal(m1, m2)
         assert bool(o1) == bool(o2)
+
+
+def test_mb_source_chunk_pack_equals_piece_array_path(rng):
+    """pack_frame_chunks(_v2) (r5 MB-source merge + lane-wise header) vs
+    the retained piece-array reference (_frame_pieces + _pieces_to_chunks)
+    — byte equality of span strings, bits, mb_bits, ovf on the jnp path."""
+    import jax
+
+    from video_encoder_tpu.codec import entropy
+
+    nby, nbx, bw = 6, 7, 16
+    n_mbs = nby * nbx
+    lvl = np.where(rng.random((2 * nby, 2 * nbx, 64)) < 0.15,
+                   rng.integers(-200, 201, (2 * nby, 2 * nbx, 64)),
+                   0).astype(np.int32)
+    lc = np.where(rng.random((nby, nbx, 64)) < 0.1,
+                  rng.integers(-90, 91, (nby, nbx, 64)), 0).astype(np.int32)
+    qpd = jnp.asarray(rng.integers(-2, 3, (nby, nbx)), jnp.int32)
+    dy = jnp.asarray(rng.integers(-16, 17, (nby, nbx)), jnp.int32)
+    dxv = jnp.asarray(rng.integers(-16, 17, (nby, nbx)), jnp.int32)
+    isin = jnp.asarray(rng.random((nby, nbx)) < 0.85)
+    args = (jnp.asarray(lvl), jnp.asarray(lc), jnp.asarray(lc), qpd, True,
+            isin, dy, dxv, bw)
+
+    def old_v1(*a):
+        pw, pb, mb, ovf = entropy._frame_pieces(*a)
+        cw, cb, om = entropy._pieces_to_chunks(
+            pw.reshape(n_mbs * 8, bw), pb.reshape(n_mbs * 8), bw)
+        return cw, cb, mb.reshape(nby, nbx), ovf | om
+
+    for new, old in ((entropy.pack_frame_chunks, old_v1),
+                     (entropy.pack_frame_chunks_v2,
+                      entropy._pack_frame_chunks_v2_old)):
+        a = jax.jit(new, static_argnums=8)(*args)
+        b = jax.jit(old, static_argnums=8)(*args)
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
