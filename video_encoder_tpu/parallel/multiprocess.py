@@ -263,15 +263,14 @@ def spawn_clip_encode(cfg, in_path: str, width: int, height: int,
         ncores = os.cpu_count() or 1
         pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for i in range(nproc):
-            # pin one worker per core only while cores outnumber workers:
-            # with nproc > ncores, i % ncores would SHARE single cores and
-            # serialize the collisions — worse than free scheduling
-            # (ADVICE r4 low)
-            if nproc <= ncores:
-                env = dict(env, TVC_CPU_PIN=str(i % ncores))
-            else:
-                env = dict(env)
-                env.pop("TVC_CPU_PIN", None)
+            # i % ncores pins workers round-robin even when oversubscribed.
+            # The r4 advisor suggested skipping the pin for nproc > ncores
+            # (shared cores "serialize collisions"); the r5 A/B MEASURED the
+            # opposite on the 2-core host at N=4: pinned-shared cpu
+            # efficiency 0.91 vs 0.80 unpinned (wall 0.44 vs 0.39) — free
+            # scheduling migrates XLA's intra-op pools and thrashes worse
+            # than an even static share (tools/scaling_results.json).
+            env = dict(env, TVC_CPU_PIN=str(i % ncores))
             procs.append(subprocess.Popen(
                 [sys.executable, "-m", "video_encoder_tpu.parallel.multiprocess",
                  "--process-id", str(i), "--num-processes", str(nproc),
