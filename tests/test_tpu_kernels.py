@@ -553,3 +553,41 @@ def test_tile_encode_on_chip_equals_gop_engine(rng):
             [(wc[0, ti, c], int(bc[0, ti, c]))
              for c in range(bc.shape[2]) if bc[0, ti, c]])
         assert nbits == p.payload_bits and payload == p.payload, ti
+
+
+def test_pre_haloed_2d_geometry_on_chip(rng):
+    """2-D tile geometry (horizontal halo present: ref_ext is [h+2r, w+2r])
+    for BOTH pre-haloed kernels — the r5 1-D tests left the wider-ref
+    branch uncovered. vs the jnp twins on an interior shard."""
+    from video_encoder_tpu.ops import motion
+    from video_encoder_tpu.ops.pallas import sad as psad
+    from video_encoder_tpu.ops.transform import blockify, unblockify
+    from video_encoder_tpu.parallel import tiles
+
+    r = 16
+    hs, ws = 128, 208
+    full = rng.integers(0, 256, (hs + 2 * r, ws + 2 * r)).astype(np.int32)
+    ref_ext = jnp.asarray(full)  # interior shard: all halo rows/cols real
+    cur = jnp.asarray(np.clip(
+        np.roll(full[r:-r, r:-r], (3, -5), (0, 1))
+        + rng.integers(-4, 5, (hs, ws)), 0, 255), jnp.int32)
+
+    # full search, 2-D branch
+    kdy, kdx, ksad = jax.jit(psad.full_search_pre_haloed)(cur, ref_ext)
+    from video_encoder_tpu.ops import dispatch
+    dispatch.force("jnp")
+    try:
+        sdy, sdx, ssad = jax.jit(tiles._full_search_haloed)(cur, ref_ext)
+    finally:
+        dispatch.force(None)
+    assert np.array_equal(np.asarray(kdy), np.asarray(sdy))
+    assert np.array_equal(np.asarray(kdx), np.asarray(sdx))
+    assert np.array_equal(np.asarray(ksad), np.asarray(ssad))
+
+    # MC, 2-D branch (ref wider than the mv grid * bs)
+    nby, nbx = hs // 16, ws // 16
+    dy = jnp.asarray(rng.integers(-r, r + 1, (nby, nbx)), jnp.int32)
+    dx = jnp.asarray(rng.integers(-r, r + 1, (nby, nbx)), jnp.int32)
+    got = jax.jit(psad.mc_fetch_plane_pre_haloed)(ref_ext, dy, dx)
+    want = unblockify(motion.mc_fetch(ref_ext, dy, dx, 16, r))
+    assert np.array_equal(np.asarray(got), np.asarray(want))
