@@ -246,10 +246,23 @@ def hier_search(cur_y: jnp.ndarray, ref_y: jnp.ndarray, refine_sad_fn=None):
 
 
 def intra_cost_and_dc(cur_y: jnp.ndarray):
-    """Per-MB DC and SAD-vs-DC (SPEC.md §9/§10)."""
-    blocks = blockify(cur_y, spec.MB)
-    dc = (blocks.sum(axis=(2, 3)) + 128) >> 8
-    cost = jnp.abs(blocks - dc[:, :, None, None]).sum(axis=(2, 3))
+    """Per-MB DC and SAD-vs-DC (SPEC.md §9/§10).
+
+    Two-stage axis reductions instead of blockify: the 16x16-block
+    transpose relayout measured 1.2 ms/frame at 4K inside the GOP scan
+    (r5); reducing rows-in-groups then columns-in-groups touches the
+    plane once with no relayout, and integer addition is associative so
+    the values are bit-identical."""
+    h, w = cur_y.shape
+    nby, nbx = h // spec.MB, w // spec.MB
+
+    def mb_sums(p):
+        rows = p.reshape(nby, spec.MB, w).sum(axis=1)        # [nby, W]
+        return rows.reshape(nby, nbx, spec.MB).sum(axis=2)   # [nby, nbx]
+
+    dc = (mb_sums(cur_y) + 128) >> 8
+    dc_px = jnp.repeat(jnp.repeat(dc, spec.MB, 0), spec.MB, 1)
+    cost = mb_sums(jnp.abs(cur_y - dc_px))
     return dc, cost
 
 
