@@ -599,7 +599,12 @@ def main(argv=None) -> int:
     e.add_argument("--gop", type=int, default=30)
     e.add_argument("--qp", type=int, default=28)
     e.add_argument("--search", choices=["full", "diamond", "hier"],
-                   default="diamond")
+                   default="full",
+                   help="ME mode; full (the default) is measured both the "
+                        "fastest AND the quality-optimal mode on TPU "
+                        "(BASELINE.md: batched-matmul exhaustive search "
+                        "beats pruned modes; diamond/hier exist for "
+                        "reference parity)")
     e.add_argument("--rc", choices=["none", "adaptive", "bitrate", "vbv", "mb"],
                    default="none")
     e.add_argument("--kbps", type=int, default=0)

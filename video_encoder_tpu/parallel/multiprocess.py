@@ -392,7 +392,7 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=192)
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--qp", type=int, default=28)
-    ap.add_argument("--search", default="diamond")
+    ap.add_argument("--search", default="full")
     ap.add_argument("--rc", default="none")
     ap.add_argument("--clip", default="",
                     help="encode this raw clip's full GOPs (CLI path) "
